@@ -1,0 +1,17 @@
+from houv_tpu.metrics.cd import (
+    calc_cd,
+    calc_cd_percent,
+    calc_cd_percent_aligned,
+    loss_view,
+    fscore,
+)
+from houv_tpu.metrics.emd import calc_emd
+
+__all__ = [
+    "calc_cd",
+    "calc_cd_percent",
+    "calc_cd_percent_aligned",
+    "loss_view",
+    "fscore",
+    "calc_emd",
+]

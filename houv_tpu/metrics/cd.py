@@ -1,0 +1,105 @@
+"""Chamfer-based losses with the reference's exact truncation/projection semantics.
+
+Reference: registration/model_utils_completion.py:69-166 and
+completion/model_utils.py:69-80, utils/metrics/CD/fscore.py:3-16.
+
+Argument-order quirk preserved on purpose: the reference calls
+``cd(gt, output)`` so dist1 is per-GT-point and dist2 is per-output-point
+(SURVEY.md §7 "quirks"). We keep that exact direction so cd_p/cd_t match
+numerically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.ops.chamfer import chamfer
+
+Array = jax.Array
+
+
+def _smallest_k(d: Array, k: int) -> Array:
+    """k smallest values along the last axis (unsorted order is fine for means)."""
+    neg, _ = jax.lax.top_k(-d, k)
+    return -neg
+
+
+def calc_cd(
+    output: Array, gt: Array, calc_f1: bool = False, use_pallas: bool | None = None
+):
+    """cd_p = (mean√d1 + mean√d2)/2, cd_t = mean d1 + mean d2.
+
+    d1 is per-gt-point, d2 per-output-point (reference
+    completion/model_utils.py:69-80). Returns (cd_p, cd_t[, f1]).
+    """
+    d1, d2, _, _ = chamfer(gt, output, use_pallas)
+    cd_p = (jnp.sqrt(d1).mean(axis=-1) + jnp.sqrt(d2).mean(axis=-1)) / 2.0
+    cd_t = d1.mean(axis=-1) + d2.mean(axis=-1)
+    if calc_f1:
+        f1, _, _ = fscore(d1, d2)
+        return cd_p, cd_t, f1
+    return cd_p, cd_t
+
+
+def calc_cd_percent(
+    output: Array,
+    gt: Array,
+    percent: float = 1.0,
+    use_pallas: bool | None = None,
+) -> tuple[Array, Array]:
+    """Truncated one-sided CDs: keep only the smallest ``percent`` fraction of
+    per-point distances on each side — the core of HOUV's partial-overlap
+    robustness (reference model_utils_completion.py:83-100).
+
+    Returns (cd_p, cd_t) where cd_p = mean √(smallest-k of d1) and
+    cd_t = mean √(smallest-k of d2); k = round down of N·percent.
+    """
+    n = output.shape[-2]
+    k = int(n * percent)
+    d1, d2, _, _ = chamfer(gt, output, use_pallas)
+    if k < d1.shape[-1]:
+        d1 = _smallest_k(d1, k)
+    if k < d2.shape[-1]:
+        d2 = _smallest_k(d2, k)
+    cd_p = jnp.sqrt(d1).mean(axis=-1)
+    cd_t = jnp.sqrt(d2).mean(axis=-1)
+    return cd_p, cd_t
+
+
+def calc_cd_percent_aligned(
+    output: Array, gt: Array, percent: float = 1.0, use_pallas: bool | None = None
+):
+    """Truncated CD that also returns the nearest-neighbor match indices
+    (reference model_utils_completion.py:103-117)."""
+    n = output.shape[-2]
+    k = int(n * percent)
+    d1, d2, i1, i2 = chamfer(gt, output, use_pallas)
+    d1k, kept1 = jax.lax.top_k(-d1, k)
+    d2k, kept2 = jax.lax.top_k(-d2, k)
+    cd_p = jnp.sqrt(-d1k).mean(axis=-1)
+    cd_t = jnp.sqrt(-d2k).mean(axis=-1)
+    return cd_p, cd_t, i1, i2, kept1, kept2
+
+
+def loss_view(
+    src: Array,
+    tgt: Array,
+    dim: int = 0,
+    percent: float = 1.0,
+    use_pallas: bool | None = None,
+) -> tuple[Array, Array]:
+    """CD of both clouds projected onto the plane orthogonal to axis ``dim``
+    (coordinate zeroed) — reference model_utils_completion.py:157-166."""
+    mask = jnp.ones((3,), dtype=src.dtype).at[dim].set(0.0)
+    return calc_cd_percent(src * mask, tgt * mask, percent, use_pallas)
+
+
+def fscore(d1: Array, d2: Array, threshold: float = 1e-4):
+    """F1 / precision / recall from *squared* distances at ``threshold``
+    (reference utils/metrics/CD/fscore.py:3-16; NaN -> 0)."""
+    p1 = jnp.mean((d1 < threshold).astype(d1.dtype), axis=-1)
+    p2 = jnp.mean((d2 < threshold).astype(d2.dtype), axis=-1)
+    denom = p1 + p2
+    f1 = jnp.where(denom > 0, 2.0 * p1 * p2 / jnp.maximum(denom, 1e-30), 0.0)
+    return f1, p1, p2

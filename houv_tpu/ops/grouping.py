@@ -1,0 +1,141 @@
+"""Gather / grouping / kNN / ball query — TPU-native.
+
+Replacements for the reference CUDA ops (utils/mm3d_pn2/ops/{gather_points,
+group_points,knn,ball_query}). On TPU these are XLA gathers and blockwise
+distance + top_k — no custom kernels needed; gathers are differentiable
+(their transpose is the scatter-add the CUDA backward implements by hand,
+e.g. gather_points.py:14-49, group_points.py custom backward).
+
+Feature layout convention matches the reference: features are channel-major
+(B, C, N) where noted, clouds are (B, N, 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.ops.chamfer import pairwise_sqdist
+
+Array = jax.Array
+
+
+def gather_points(features: Array, idx: Array) -> Array:
+    """(B, C, N) × (B, M) int -> (B, C, M). Differentiable in features."""
+    return jnp.take_along_axis(features, idx[:, None, :], axis=2)
+
+
+def grouping_operation(features: Array, idx: Array) -> Array:
+    """(B, C, N) × (B, npoint, nsample) int -> (B, C, npoint, nsample)."""
+    bsz, c, _ = features.shape
+    npoint, nsample = idx.shape[1], idx.shape[2]
+    flat = jnp.take_along_axis(
+        features, idx.reshape(bsz, 1, npoint * nsample), axis=2
+    )
+    return flat.reshape(bsz, c, npoint, nsample)
+
+
+def index_points(points: Array, idx: Array) -> Array:
+    """(B, N, C) × (B, ...) int -> (B, ..., C)
+    (reference completion/model_utils.py index_points)."""
+    bsz = points.shape[0]
+    c = points.shape[-1]
+    out_shape = idx.shape + (c,)
+    flat_idx = idx.reshape(bsz, -1)
+    out = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    return out.reshape(out_shape)
+
+
+def knn_points(query: Array, ref: Array, k: int) -> tuple[Array, Array]:
+    """k nearest ref-points for each query point.
+
+    (B, M, 3) query × (B, N, 3) ref -> (neg_sqdist (B, M, k), idx (B, M, k)).
+    Values are NEGATED squared distances sorted descending, matching the
+    reference's ``knn_point`` (completion/model_utils.py:277-289) which
+    topk's the negated distance matrix.
+    """
+    d = pairwise_sqdist(query, ref)
+    neg, idx = jax.lax.top_k(-d, k)
+    return neg, idx.astype(jnp.int32)
+
+
+def knn(x: Array, k: int) -> Array:
+    """Self-kNN over channel-major features: (B, C, N) -> (B, N, k) indices
+    (reference completion/model_utils.py:258-264; includes self)."""
+    pts = jnp.swapaxes(x, 1, 2)
+    _, idx = knn_points(pts, pts, k)
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("nsample",))
+def ball_query(
+    min_radius: float,
+    max_radius: float,
+    nsample: int,
+    xyz: Array,
+    center_xyz: Array,
+) -> Array:
+    """Fixed-radius neighborhood indices, CUDA-kernel-compatible semantics
+    (utils/mm3d_pn2/ops/ball_query/src/ball_query_cuda.cu):
+
+    - a point qualifies if d² == 0 or min_r² <= d² < max_r²,
+    - the first ``nsample`` qualifying points in index order are returned,
+    - slots past the count repeat the first qualifying index,
+    - centers with no qualifying point return all-zeros.
+
+    xyz: (B, N, 3), center_xyz: (B, M, 3) -> (B, M, nsample) int32.
+    """
+    n = xyz.shape[1]
+    d2 = pairwise_sqdist(center_xyz, xyz)  # (B, M, N)
+    mask = jnp.logical_or(
+        d2 == 0.0,
+        jnp.logical_and(d2 >= min_radius**2, d2 < max_radius**2),
+    )
+    # Key = own index for valid points, n + index for invalid: top_k of the
+    # negated key returns the first `nsample` valid indices in index order.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(mask, pos, pos + n)
+    _, idx = jax.lax.top_k(-keys, nsample)  # (B, M, nsample), ascending keys
+    idx = idx.astype(jnp.int32)
+    count = jnp.sum(mask, axis=-1, dtype=jnp.int32)[..., None]  # (B, M, 1)
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+    first = idx[..., 0:1]
+    idx = jnp.where(slot < count, idx, first)
+    return jnp.where(count > 0, idx, 0)
+
+
+def query_and_group(
+    xyz: Array,
+    center_xyz: Array,
+    features: Array | None,
+    *,
+    nsample: int,
+    max_radius: float | None,
+    min_radius: float = 0.0,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+) -> Array:
+    """Ball-query (or kNN when max_radius is None) + grouping + center-subtract,
+    the reference's ``QueryAndGroup`` module
+    (utils/mm3d_pn2/ops/group_points/group_points.py:60-120).
+
+    xyz (B, N, 3), center_xyz (B, M, 3), features (B, C, N) or None
+    -> (B, C(+3), M, nsample).
+    """
+    if max_radius is None:
+        _, idx = knn_points(center_xyz, xyz, nsample)
+    else:
+        idx = ball_query(min_radius, max_radius, nsample, xyz, center_xyz)
+    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
+    grouped_xyz = grouping_operation(xyz_t, idx)  # (B, 3, M, nsample)
+    grouped_xyz = grouped_xyz - jnp.swapaxes(center_xyz, 1, 2)[..., None]
+    if normalize_xyz and max_radius is not None:
+        grouped_xyz = grouped_xyz / max_radius
+    if features is None:
+        return grouped_xyz
+    grouped = grouping_operation(features, idx)  # (B, C, M, nsample)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped], axis=1)
+    return grouped

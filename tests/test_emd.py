@@ -1,0 +1,84 @@
+"""EMD auction tests: vs scipy Hungarian golden, self-verification invariants
+(mirroring the reference's test_emd, utils/metrics/EMD/emd_module.py:90-104)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from houv_tpu.metrics import calc_cd, calc_emd
+from houv_tpu.ops.emd import emd_auction
+
+
+def _hungarian_emd(x1, x2):
+    """Exact optimal assignment cost (mean squared distance)."""
+    costs = []
+    for a, b in zip(x1, x2):
+        d = np.linalg.norm(a[:, None] - b[None], axis=-1) ** 2
+        r, c = linear_sum_assignment(d)
+        costs.append(d[r, c].mean())
+    return np.array(costs)
+
+
+def test_auction_close_to_hungarian(rng):
+    x1 = rng.uniform(0, 1, (4, 64, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (4, 64, 3)).astype(np.float32)
+    dist, assignment = emd_auction(jnp.asarray(x1), jnp.asarray(x2), 0.002, 5000)
+    exact = _hungarian_emd(x1, x2)
+    approx = np.asarray(dist).mean(axis=1)
+    # Auction with small eps: within eps*scale of optimal.
+    assert (approx <= exact + 0.01).all()
+    assert (approx >= exact - 1e-6).all()  # can't beat the optimum
+
+
+def test_assignment_is_permutation(rng):
+    x1 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    _, assignment = emd_auction(jnp.asarray(x1), jnp.asarray(x2), 0.005, 3000)
+    a = np.asarray(assignment)
+    for b in range(2):
+        assert len(set(a[b].tolist())) == 128  # bijection when converged
+
+
+def test_dist_self_consistent(rng):
+    """Reference invariant: gathering x2 by assignment reproduces dist."""
+    x1 = rng.uniform(0, 1, (2, 64, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 64, 3)).astype(np.float32)
+    dist, assignment = emd_auction(jnp.asarray(x1), jnp.asarray(x2), 0.005, 500)
+    a = np.asarray(assignment)
+    matched = np.take_along_axis(x2, a[..., None], axis=1)
+    d = ((x1 - matched) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dist), d, rtol=1e-4, atol=1e-6)
+
+
+def test_identical_clouds_zero(rng):
+    x = rng.uniform(0, 1, (1, 64, 3)).astype(np.float32)
+    out = np.asarray(calc_emd(jnp.asarray(x), jnp.asarray(x), 0.002, 2000))
+    np.testing.assert_allclose(out, 0.0, atol=5e-3)
+
+
+def test_emd_geq_one_sided_cd(rng):
+    """Property: EMD (bijective matching) >= one-sided nearest-neighbor CD."""
+    x1 = rng.uniform(0, 1, (2, 64, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 64, 3)).astype(np.float32)
+    emd_v = np.asarray(calc_emd(jnp.asarray(x1), jnp.asarray(x2), 0.002, 3000))
+    cd_p, _ = calc_cd(jnp.asarray(x1), jnp.asarray(x2))
+    assert (emd_v >= np.asarray(cd_p) - 1e-5).all()
+
+
+def test_gradient_only_to_x1(rng):
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 32, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(0, 1, (1, 32, 3)).astype(np.float32))
+
+    def loss(a, b):
+        d, _ = emd_auction(a, b, 0.005, 200)
+        return d.mean()
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x1, x2)
+    assert np.abs(np.asarray(g1)).sum() > 0
+    np.testing.assert_allclose(np.asarray(g2), 0.0)
+    # Gradient formula: 2*(x1 - matched)/N
+    _, assignment = emd_auction(x1, x2, 0.005, 200)
+    matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
+    expected = 2.0 * (x1 - matched) / 32.0
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(expected), rtol=1e-4)

@@ -1,0 +1,163 @@
+"""Tests for FPS / kNN / ball query / grouping / interpolation / voxelize."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from houv_tpu.ops import (
+    ball_query,
+    furthest_point_sample,
+    furthest_point_sample_with_dist,
+    gather_points,
+    grouping_operation,
+    index_points,
+    knn_points,
+    three_interpolate,
+    three_nn,
+    three_nn_upsampling,
+    voxel_grid_indices,
+    voxelize_mean,
+    voxelize_occupancy,
+)
+from houv_tpu.ops.chamfer import pairwise_sqdist
+
+
+def _np_fps(pts, k):
+    """Golden sequential FPS (same init as the CUDA kernel: start at 0)."""
+    n = pts.shape[0]
+    idxs = np.zeros(k, np.int32)
+    min_d = np.full(n, 1e10, np.float64)
+    last = 0
+    for i in range(1, k):
+        d = np.sum((pts - pts[last]) ** 2, axis=1)
+        min_d = np.minimum(min_d, d)
+        last = int(np.argmax(min_d))
+        idxs[i] = last
+    return idxs
+
+
+def test_fps_matches_golden(rng):
+    pts = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    ours = np.asarray(furthest_point_sample(jnp.asarray(pts), 32))
+    for b in range(2):
+        np.testing.assert_array_equal(ours[b], _np_fps(pts[b], 32))
+
+
+def test_fps_coverage_property(rng):
+    """FPS samples must be spread: min pairwise distance among samples is
+    >= that of random sampling (here: all indices distinct)."""
+    pts = rng.standard_normal((1, 256, 3)).astype(np.float32)
+    idx = np.asarray(furthest_point_sample(jnp.asarray(pts), 64))[0]
+    assert len(set(idx.tolist())) == 64
+
+
+def test_fps_with_dist_agrees(rng):
+    pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
+    d = np.asarray(pairwise_sqdist(jnp.asarray(pts), jnp.asarray(pts)))
+    a = np.asarray(furthest_point_sample(jnp.asarray(pts), 24))
+    b = np.asarray(furthest_point_sample_with_dist(jnp.asarray(d), 24))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_knn_points_golden(rng):
+    q = rng.standard_normal((2, 30, 3)).astype(np.float32)
+    r = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    neg, idx = knn_points(jnp.asarray(q), jnp.asarray(r), 5)
+    d = np.linalg.norm(q[:, :, None] - r[:, None], axis=-1) ** 2
+    ref_idx = np.argsort(d, axis=-1)[..., :5]
+    np.testing.assert_allclose(
+        -np.asarray(neg), np.take_along_axis(d, ref_idx, -1), rtol=1e-4, atol=1e-5
+    )
+    # Sets must agree (ties may reorder).
+    assert (np.sort(np.asarray(idx), -1) == np.sort(ref_idx, -1)).all()
+
+
+def test_ball_query_semantics():
+    # 1 batch, 1 center at origin; points at known radii.
+    xyz = np.array(
+        [[[10, 0, 0], [0.1, 0, 0], [5, 0, 0], [0, 0.2, 0], [0, 0, 0.3], [0.05, 0, 0]]],
+        np.float32,
+    )
+    center = np.zeros((1, 1, 3), np.float32)
+    idx = np.asarray(ball_query(0.0, 0.5, 4, jnp.asarray(xyz), jnp.asarray(center)))
+    # Qualifying in index order: 1, 3, 4, 5 (dist < 0.5)
+    np.testing.assert_array_equal(idx[0, 0], [1, 3, 4, 5])
+    # nsample larger than count: fill with first qualifying index
+    idx = np.asarray(ball_query(0.0, 0.25, 4, jnp.asarray(xyz), jnp.asarray(center)))
+    np.testing.assert_array_equal(idx[0, 0], [1, 3, 5, 1])
+    # no qualifying points -> zeros
+    idx = np.asarray(ball_query(0.0, 0.01, 3, jnp.asarray(xyz), jnp.asarray(center)))
+    np.testing.assert_array_equal(idx[0, 0], [0, 0, 0])
+
+
+def test_gather_and_grouping(rng):
+    feats = rng.standard_normal((2, 8, 16)).astype(np.float32)
+    idx = rng.integers(0, 16, (2, 5)).astype(np.int32)
+    out = np.asarray(gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], feats[b][:, idx[b]])
+
+    gidx = rng.integers(0, 16, (2, 5, 3)).astype(np.int32)
+    gout = np.asarray(grouping_operation(jnp.asarray(feats), jnp.asarray(gidx)))
+    assert gout.shape == (2, 8, 5, 3)
+    for b in range(2):
+        for p in range(5):
+            np.testing.assert_array_equal(gout[b, :, p], feats[b][:, gidx[b, p]])
+
+
+def test_index_points(rng):
+    pts = rng.standard_normal((2, 20, 3)).astype(np.float32)
+    idx = rng.integers(0, 20, (2, 4, 6)).astype(np.int32)
+    out = np.asarray(index_points(jnp.asarray(pts), jnp.asarray(idx)))
+    assert out.shape == (2, 4, 6, 3)
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], pts[b][idx[b]])
+
+
+def test_three_nn_and_interpolate(rng):
+    tgt = rng.standard_normal((2, 24, 3)).astype(np.float32)
+    src = rng.standard_normal((2, 10, 3)).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(tgt), jnp.asarray(src))
+    d = np.linalg.norm(tgt[:, :, None] - src[:, None], axis=-1)
+    ref_idx = np.argsort(d, axis=-1)[..., :3]
+    np.testing.assert_allclose(
+        np.asarray(dist), np.take_along_axis(d, ref_idx, -1), rtol=1e-3, atol=1e-5
+    )
+
+    feats = rng.standard_normal((2, 7, 10)).astype(np.float32)
+    idx_u, w = three_nn_upsampling(jnp.asarray(tgt), jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
+    out = np.asarray(three_interpolate(jnp.asarray(feats), idx_u, w))
+    assert out.shape == (2, 7, 24)
+    # Exact interpolation at coincident points: target equals a source point.
+    tgt2 = src.copy()[:, :5]
+    idx2, w2 = three_nn_upsampling(jnp.asarray(tgt2), jnp.asarray(src))
+    out2 = np.asarray(three_interpolate(jnp.asarray(feats), idx2, w2))
+    np.testing.assert_allclose(out2, feats[:, :, :5], rtol=1e-3, atol=1e-4)
+
+
+def test_voxelize_matches_reference_numpy(rng):
+    """Golden: the reference getVoxel (registration/dataset.py:264-288) in numpy."""
+    xyz = rng.uniform(-0.5, 0.5, (3, 200, 3)).astype(np.float32)
+    vp, cnt = voxelize_mean(jnp.asarray(xyz), grid_size=50)
+    for b in range(3):
+        min_b, max_b = np.full(3, -0.5), np.full(3, 0.5)
+        intervals = (max_b - min_b) / 49
+        grid = np.floor((np.clip(xyz[b], min_b, max_b) - min_b) / intervals).astype(int)
+        unq, inv, c = np.unique(grid, return_inverse=True, return_counts=True, axis=0)
+        ref = np.zeros((200, 3))
+        for t, i in enumerate(inv):
+            ref[i] += xyz[b, t] / c[i]
+        assert int(cnt[b]) == unq.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(vp[b])[: unq.shape[0]], ref[: unq.shape[0]], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_voxel_occupancy(rng):
+    xyz = rng.uniform(-0.5, 0.5, (2, 100, 3)).astype(np.float32)
+    occ = np.asarray(voxelize_occupancy(jnp.asarray(xyz), grid_size=20))
+    assert occ.shape == (2, 20, 20, 20)
+    idx = np.asarray(voxel_grid_indices(jnp.asarray(xyz), grid_size=20))
+    for b in range(2):
+        assert occ[b].sum() == len({tuple(r) for r in idx[b]})
