@@ -1,0 +1,381 @@
+"""MVP benchmark data layer.
+
+Replaces the reference's torch Datasets (registration/dataset.py:55-478
+MVP_RG / MVP_RG_rotated / MVP_RG_rotated_bound, completion/dataset.py:12-142
+MVP_CP / MVP_CP_EX) with plain-numpy loaders feeding jit-compiled steps.
+Index-range sharding (``[l:r)`` slices, the reference's 4-process sweep
+mechanism) is kept as a feature but driven by the device mesh
+(houv_tpu.parallel), not CUDA_VISIBLE_DEVICES.
+
+Schema notes (SURVEY.md §2.7):
+- MVP_RG h5 keys: src, tgt, rotated_src, rotated_tgt, transforms, pose_src,
+  pose_tgt, complete, cat_labels (code key — README says cat_label),
+  match_id (group of ragged int arrays), match_level, rot_level.
+- MVP_CP h5 keys: incomplete_pcds, complete_pcds, labels; 26 partial scans
+  per complete model (gt index = index // 26); train scale aug uniform in
+  {0.8, 0.9, ..., 1.2}.
+- Train-time pose synthesis (registration/dataset.py:125-130):
+  transform = random_pose(max_angle, max_trans/2), pose1 = random_pose(π,
+  max_trans), pose2 = transform @ pose1; src/tgt moved by pose1/pose2.
+  (The committed reference's random_pose returns a (pose, angle) tuple which
+  would crash that code path — we implement the evident intent.)
+
+Because the large .h5 files are not distributed with the repo, this module
+also synthesizes statistically-similar fixtures (overlapping partial views
+of random multi-blob shapes) used by tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+# ---------------------------------------------------------------------------
+# Pose synthesis (numpy, host-side — mirrors registration/dataset.py:16-53)
+# ---------------------------------------------------------------------------
+
+def _random_rotation_np(rng: np.random.Generator, max_angle: float,
+                        min_angle: float = 0.0):
+    axis = rng.standard_normal(3)
+    axis /= np.linalg.norm(axis)
+    angle = min_angle + rng.random() * (max_angle - min_angle)
+    a = np.array(
+        [
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ]
+    )
+    r = np.eye(3) + np.sin(angle) * a + (1 - np.cos(angle)) * (a @ a)
+    return r, angle
+
+
+def random_pose_np(rng: np.random.Generator, max_angle: float, max_trans: float,
+                   min_angle: float = 0.0) -> np.ndarray:
+    """4x4 random rigid pose: uniform-axis rotation + random translation."""
+    r, _ = _random_rotation_np(rng, max_angle, min_angle)
+    t = rng.standard_normal(3)
+    t /= np.linalg.norm(t)
+    t *= rng.random() * max_trans
+    pose = np.eye(4)
+    pose[:3, :3] = r
+    pose[:3, 3] = t
+    return pose
+
+
+def jitter_pcd(rng: np.random.Generator, pcd: np.ndarray, sigma: float = 0.01,
+               clip: float = 0.05) -> np.ndarray:
+    """Gaussian jitter with clipping (reference dataset.py:11-13)."""
+    return pcd + np.clip(sigma * rng.standard_normal(pcd.shape), -clip, clip)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic MVP-like data
+# ---------------------------------------------------------------------------
+
+def _random_shape(rng: np.random.Generator, n_points: int) -> np.ndarray:
+    """A random 'object': points on the surfaces of 3-6 ellipsoid blobs."""
+    n_blobs = int(rng.integers(3, 7))
+    centers = rng.uniform(-0.3, 0.3, (n_blobs, 3))
+    radii = rng.uniform(0.05, 0.25, (n_blobs, 3))
+    counts = np.full(n_blobs, n_points // n_blobs)
+    counts[: n_points - counts.sum()] += 1
+    pts = []
+    for c, r, k in zip(centers, radii, counts):
+        v = rng.standard_normal((k, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts.append(c + v * r)
+    cloud = np.concatenate(pts, 0)
+    # normalize to unit-ish scale like MVP clouds
+    cloud -= cloud.mean(0)
+    cloud /= np.abs(cloud).max() * 2.0
+    return cloud.astype(np.float32)
+
+
+def _random_direction(rng: np.random.Generator,
+                      near: np.ndarray | None = None,
+                      max_angle_deg: float = 75.0) -> np.ndarray:
+    """Uniform direction, optionally constrained within a cone of `near`
+    (matched MVP views share overlap — match_id semantics)."""
+    while True:
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        if near is None or np.degrees(np.arccos(np.clip(d @ near, -1, 1))) <= max_angle_deg:
+            return d
+
+
+def _partial_view(rng: np.random.Generator, cloud: np.ndarray,
+                  n_points: int, direction: np.ndarray | None = None) -> np.ndarray:
+    """Partial scan: keep the half of the cloud most aligned with a view
+    direction, resample to n_points (mimics MVP's 26-view partials)."""
+    d = direction if direction is not None else _random_direction(rng)
+    score = cloud @ d
+    keep = np.argsort(-score)[: max(n_points, len(cloud) // 2)]
+    sel = cloud[keep]
+    idx = rng.choice(len(sel), n_points, replace=len(sel) < n_points)
+    return sel[idx].astype(np.float32)
+
+
+def synthesize_registration_pairs(
+    n_pairs: int,
+    n_points: int = 2048,
+    max_angle_deg: float = 45.0,
+    max_trans: float = 0.5,
+    seed: int = 2021,
+):
+    """Synthetic MVP_RG-like arrays: dict with src, tgt (canonical-frame
+    partial views), rotated_src, rotated_tgt, transforms, cat_labels,
+    match_level, rot_level.
+
+    transforms maps rotated_src into rotated_tgt's frame (the quantity HOUV
+    estimates; reference dataset.py:125-130 semantics)."""
+    rng = np.random.default_rng(seed)
+    max_angle = np.radians(max_angle_deg)
+    src = np.empty((n_pairs, n_points, 3), np.float32)
+    tgt = np.empty_like(src)
+    rotated_src = np.empty_like(src)
+    rotated_tgt = np.empty_like(src)
+    transforms = np.empty((n_pairs, 4, 4), np.float32)
+    complete = np.empty((n_pairs, 2 * n_points, 3), np.float32)
+    for i in range(n_pairs):
+        shape = _random_shape(rng, 4 * n_points)
+        d_src = _random_direction(rng)
+        d_tgt = _random_direction(rng, near=d_src)  # guarantee view overlap
+        src[i] = _partial_view(rng, shape, n_points, d_src)
+        tgt[i] = _partial_view(rng, shape, n_points, d_tgt)
+        transform = random_pose_np(rng, max_angle, max_trans / 2)
+        pose1 = random_pose_np(rng, np.pi, max_trans)
+        pose2 = transform @ pose1
+        rotated_src[i] = src[i] @ pose1[:3, :3].T + pose1[:3, 3]
+        rotated_tgt[i] = tgt[i] @ pose2[:3, :3].T + pose2[:3, 3]
+        transforms[i] = transform
+        complete[i] = shape[: 2 * n_points]
+    return {
+        "src": src,
+        "tgt": tgt,
+        "rotated_src": rotated_src,
+        "rotated_tgt": rotated_tgt,
+        "transforms": transforms,
+        "complete": complete,
+        "cat_labels": rng.integers(0, 16, n_pairs).astype(np.int32),
+        "match_level": rng.integers(0, 2, n_pairs).astype(np.int32),
+        "rot_level": (np.degrees(max_angle) > 45)
+        * np.ones(n_pairs, np.int32),
+    }
+
+
+def synthesize_completion_set(
+    n_models: int,
+    views_per_model: int = 26,
+    n_partial: int = 2048,
+    n_complete: int = 2048,
+    seed: int = 2021,
+):
+    """Synthetic MVP_CP-like arrays: incomplete_pcds (M·V, n_partial, 3),
+    complete_pcds (M, n_complete, 3), labels (M·V,)."""
+    rng = np.random.default_rng(seed)
+    complete = np.empty((n_models, n_complete, 3), np.float32)
+    partial = np.empty((n_models * views_per_model, n_partial, 3), np.float32)
+    labels = np.empty(n_models * views_per_model, np.int32)
+    for m in range(n_models):
+        shape = _random_shape(rng, 2 * n_complete)
+        complete[m] = shape[rng.choice(len(shape), n_complete, replace=False)]
+        lab = int(rng.integers(0, 16))
+        for v in range(views_per_model):
+            partial[m * views_per_model + v] = _partial_view(rng, shape, n_partial)
+            labels[m * views_per_model + v] = lab
+    return {
+        "incomplete_pcds": partial,
+        "complete_pcds": complete,
+        "labels": labels,
+    }
+
+
+# ---------------------------------------------------------------------------
+# H5 IO (reference schema)
+# ---------------------------------------------------------------------------
+
+def load_h5(path: str, keys=None) -> dict:
+    """Load (a subset of) an MVP h5 file into numpy arrays."""
+    if h5py is None:
+        raise ImportError("h5py unavailable")
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k in keys or f.keys():
+            if isinstance(f[k], h5py.Group):  # ragged match_id group
+                out[k] = [np.array(f[k][str(i)][:]) for i in range(len(f[k]))]
+            else:
+                out[k] = np.array(f[k][()])
+    return out
+
+
+def write_mvp_rg_fixture(path: str, data: dict | None = None, n_pairs: int = 16,
+                         n_points: int = 128, seed: int = 2021):
+    """Write a small MVP_RG-schema h5 fixture (for tests)."""
+    data = data or synthesize_registration_pairs(n_pairs, n_points, seed=seed)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for k, v in data.items():
+            f.create_dataset(k, data=v)
+    return data
+
+
+def write_mvp_cp_fixture(path: str, data: dict | None = None, n_models: int = 4,
+                         views: int = 4, n_points: int = 128, seed: int = 2021):
+    """Write a small MVP_CP-schema h5 fixture (for tests)."""
+    data = data or synthesize_completion_set(
+        n_models, views, n_points, n_points, seed=seed
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for k, v in data.items():
+            f.create_dataset(k, data=v)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MVPRegistrationDataset:
+    """MVP_RG with the reference's split semantics
+    (registration/dataset.py:55-151):
+
+    - train: canonical-frame src/tgt + on-the-fly pose synthesis per draw,
+    - val:   precomputed rotated_src/rotated_tgt + transforms + levels,
+    - test:  rotated_src/rotated_tgt only.
+
+    Supports [l, r) index-range sharding like MVP_RG_rotated_bound
+    (dataset.py:354-478)."""
+
+    split: str
+    path: str | None = None
+    data: dict | None = None
+    max_angle_deg: float = 45.0
+    max_trans: float = 0.5
+    index_range: tuple[int, int] | None = None
+    category: int | None = None
+
+    def __post_init__(self):
+        if self.data is None:
+            if self.path is None:
+                raise ValueError("need path or data")
+            self.data = load_h5(self.path)
+        d = self.data
+        if self.split == "train":
+            self.src, self.tgt = d["src"], d["tgt"]
+        else:
+            self.src, self.tgt = d["rotated_src"], d["rotated_tgt"]
+        self.labels = d.get("cat_labels")
+        self.transforms = d.get("transforms") if self.split == "val" else None
+        self.match_level = d.get("match_level")
+        self.rot_level = d.get("rot_level")
+        if self.category is not None and self.labels is not None:
+            m = self.labels == self.category
+            self.src, self.tgt = self.src[m], self.tgt[m]
+            if self.transforms is not None:
+                self.transforms = self.transforms[m]
+            for name in ("match_level", "rot_level"):
+                v = getattr(self, name)
+                if v is not None:
+                    setattr(self, name, v[m])
+            self.labels = self.labels[m]
+        if self.index_range is not None:
+            l, r = self.index_range
+            self.src, self.tgt = self.src[l:r], self.tgt[l:r]
+            if self.transforms is not None:
+                self.transforms = self.transforms[l:r]
+
+    def __len__(self):
+        return len(self.src)
+
+    def get_batch(self, indices, rng: np.random.Generator | None = None):
+        """Batch dict of numpy arrays. For train, poses are synthesized here
+        (host-side, cheap) exactly like the reference's __getitem__."""
+        src = self.src[indices].astype(np.float32)
+        tgt = self.tgt[indices].astype(np.float32)
+        if self.split == "train":
+            rng = rng or np.random.default_rng()
+            max_angle = np.radians(self.max_angle_deg)
+            transforms = np.empty((len(src), 4, 4), np.float32)
+            for i in range(len(src)):
+                transform = random_pose_np(rng, max_angle, self.max_trans / 2)
+                pose1 = random_pose_np(rng, np.pi, self.max_trans)
+                pose2 = transform @ pose1
+                src[i] = src[i] @ pose1[:3, :3].T + pose1[:3, 3]
+                tgt[i] = tgt[i] @ pose2[:3, :3].T + pose2[:3, 3]
+                transforms[i] = transform
+            batch = {"src": src, "tgt": tgt, "transform": transforms}
+        elif self.split == "val":
+            batch = {
+                "src": src,
+                "tgt": tgt,
+                "transform": self.transforms[indices].astype(np.float32),
+            }
+        else:
+            batch = {"src": src, "tgt": tgt}
+        if self.match_level is not None and self.split != "test":
+            batch["match_level"] = self.match_level[indices]
+        if self.rot_level is not None and self.split != "test":
+            rl = self.rot_level
+            batch["rot_level"] = (
+                rl[indices] if np.ndim(rl) > 0 else np.full(len(src), rl)
+            )
+        return batch
+
+
+@dataclasses.dataclass
+class MVPCompletionDataset:
+    """MVP_CP (completion/dataset.py:12-61): 26 partials per complete model,
+    gt = complete[index // 26], train scale aug uniform in {0.8..1.2}."""
+
+    split: str
+    path: str | None = None
+    data: dict | None = None
+    views_per_model: int = 26
+    scale_aug: bool = True
+    index_range: tuple[int, int] | None = None
+
+    def __post_init__(self):
+        if self.data is None:
+            if self.path is None:
+                raise ValueError("need path or data")
+            self.data = load_h5(self.path)
+        d = self.data
+        self.partial = d["incomplete_pcds"]
+        self.complete = d.get("complete_pcds", d["incomplete_pcds"])
+        self.labels = d["labels"]
+        self.offset = 0
+        if self.index_range is not None:
+            l, r = self.index_range
+            self.partial = self.partial[l:r]
+            self.labels = self.labels[l:r]
+            self.offset = l
+
+    def __len__(self):
+        return len(self.partial)
+
+    def get_batch(self, indices, rng: np.random.Generator | None = None):
+        indices = np.asarray(indices)
+        partial = self.partial[indices].astype(np.float32)
+        labels = self.labels[indices].astype(np.int32)
+        if self.split == "test":
+            return {"partial": partial, "label": labels}
+        gt_idx = (indices + self.offset) // self.views_per_model
+        gt = self.complete[gt_idx].astype(np.float32)
+        if self.split == "train" and self.scale_aug:
+            rng = rng or np.random.default_rng()
+            # uniform over {0.8, 0.9, 1.0, 1.1, 1.2} like randint(8,12)/10
+            alpha = rng.integers(8, 13, len(indices)) / 10.0
+            partial = partial * alpha[:, None, None].astype(np.float32)
+            gt = gt * alpha[:, None, None].astype(np.float32)
+        return {"partial": partial, "gt": gt, "label": labels}

@@ -25,6 +25,12 @@ def _smallest_k(d: Array, k: int) -> Array:
     return -neg
 
 
+def _safe_sqrt(d: Array) -> Array:
+    """sqrt with a floor: d == 0 happens (coincident points / clamped
+    cancellation) and sqrt's gradient there is inf -> NaNs in the solver."""
+    return jnp.sqrt(jnp.maximum(d, 1e-12))
+
+
 def calc_cd(
     output: Array, gt: Array, calc_f1: bool = False, use_pallas: bool | None = None
 ):
@@ -34,7 +40,7 @@ def calc_cd(
     completion/model_utils.py:69-80). Returns (cd_p, cd_t[, f1]).
     """
     d1, d2, _, _ = chamfer(gt, output, use_pallas)
-    cd_p = (jnp.sqrt(d1).mean(axis=-1) + jnp.sqrt(d2).mean(axis=-1)) / 2.0
+    cd_p = (_safe_sqrt(d1).mean(axis=-1) + _safe_sqrt(d2).mean(axis=-1)) / 2.0
     cd_t = d1.mean(axis=-1) + d2.mean(axis=-1)
     if calc_f1:
         f1, _, _ = fscore(d1, d2)
@@ -62,8 +68,8 @@ def calc_cd_percent(
         d1 = _smallest_k(d1, k)
     if k < d2.shape[-1]:
         d2 = _smallest_k(d2, k)
-    cd_p = jnp.sqrt(d1).mean(axis=-1)
-    cd_t = jnp.sqrt(d2).mean(axis=-1)
+    cd_p = _safe_sqrt(d1).mean(axis=-1)
+    cd_t = _safe_sqrt(d2).mean(axis=-1)
     return cd_p, cd_t
 
 
@@ -77,8 +83,8 @@ def calc_cd_percent_aligned(
     d1, d2, i1, i2 = chamfer(gt, output, use_pallas)
     d1k, kept1 = jax.lax.top_k(-d1, k)
     d2k, kept2 = jax.lax.top_k(-d2, k)
-    cd_p = jnp.sqrt(-d1k).mean(axis=-1)
-    cd_t = jnp.sqrt(-d2k).mean(axis=-1)
+    cd_p = _safe_sqrt(-d1k).mean(axis=-1)
+    cd_t = _safe_sqrt(-d2k).mean(axis=-1)
     return cd_p, cd_t, i1, i2, kept1, kept2
 
 

@@ -62,25 +62,33 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
     return d1, d2, i1, i2
 
 
-def _nn_kernel(a_ref, bt_ref, d_ref, idx_ref, *, m_valid: int):
-    """One query tile vs the full reference cloud.
+_BATCH_BLOCK = 8  # sublane granularity for the (B, N) outputs
 
-    a_ref: (1, TILE, 3) queries; bt_ref: (1, 3, Mp) coordinate-major refs;
-    d_ref/idx_ref: (1, TILE) min squared distance and argmin index.
+
+def _nn_kernel(a_ref, bt_ref, d_ref, idx_ref, *, m_valid: int):
+    """A (BATCH_BLOCK, TILE)-query block vs each row's full reference cloud.
+
+    a_ref: (BB, TILE, 3) queries; bt_ref: (BB, 3, Mp) coordinate-major refs;
+    d_ref/idx_ref: (BB, TILE) min squared distance and argmin index.
+    The batch rows are processed in a loop so only one (TILE, Mp) distance
+    block is live in VMEM at a time (mirrors the CUDA kernel's 512-point
+    shared-memory streaming, but per-row-in-VMEM instead).
     """
-    a = a_ref[0]          # (TILE, 3)
-    bt = bt_ref[0]        # (3, Mp)
-    dist = (
-        jnp.square(a[:, 0:1] - bt[0:1, :])
-        + jnp.square(a[:, 1:2] - bt[1:2, :])
-        + jnp.square(a[:, 2:3] - bt[2:3, :])
-    )  # (TILE, Mp) on the VPU
-    mp = dist.shape[1]
-    if m_valid < mp:
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        dist = jnp.where(col < m_valid, dist, jnp.float32(4e18))
-    d_ref[0, :] = jnp.min(dist, axis=1)
-    idx_ref[0, :] = jnp.argmin(dist, axis=1).astype(jnp.int32)
+
+    for b in range(_BATCH_BLOCK):  # static unroll: Mosaic reuses the buffers
+        a = a_ref[b]          # (TILE, 3)
+        bt = bt_ref[b]        # (3, Mp)
+        dist = (
+            jnp.square(a[:, 0:1] - bt[0:1, :])
+            + jnp.square(a[:, 1:2] - bt[1:2, :])
+            + jnp.square(a[:, 2:3] - bt[2:3, :])
+        )  # (TILE, Mp) on the VPU
+        mp = dist.shape[1]
+        if m_valid < mp:
+            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            dist = jnp.where(col < m_valid, dist, jnp.float32(4e18))
+        d_ref[b, :] = jnp.min(dist, axis=1)
+        idx_ref[b, :] = jnp.argmin(dist, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -89,39 +97,47 @@ def _nn_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
     """For each point of a (B,N,3): min squared distance + index into b (B,M,3)."""
     bsz, n, _ = a.shape
     m = b.shape[1]
-    # Output blocks are (1, tile): tile must be lane-aligned (multiple of 128).
+    bb = _BATCH_BLOCK
+    bp = _round_up(bsz, bb)
+    # Output blocks are (bb, tile): tile must be lane-aligned (multiple of 128).
     tile = min(tile, _round_up(n, _LANE))
     np_ = _round_up(n, tile)
     mp = _round_up(m, _LANE)
 
-    a_pad = jnp.pad(a.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)))
+    a_pad = jnp.pad(
+        a.astype(jnp.float32), ((0, bp - bsz), (0, np_ - n), (0, 0))
+    )
     # Coordinate-major (B, 3, Mp) so each coordinate is lane-contiguous.
     bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
-    bt = jnp.pad(bt, ((0, 0), (0, 0), (0, mp - m)), constant_values=_PAD_SENTINEL)
+    bt = jnp.pad(
+        bt,
+        ((0, bp - bsz), (0, 0), (0, mp - m)),
+        constant_values=_PAD_SENTINEL,
+    )
 
-    grid = (bsz, np_ // tile)
+    grid = (bp // bb, np_ // tile)
     d, idx = pl.pallas_call(
         functools.partial(_nn_kernel, m_valid=m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda bi, ni: (bi, ni, 0),
+            pl.BlockSpec((bb, tile, 3), lambda bi, ni: (bi, ni, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, mp), lambda bi, ni: (bi, 0, 0),
+            pl.BlockSpec((bb, 3, mp), lambda bi, ni: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda bi, ni: (bi, ni),
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda bi, ni: (bi, ni),
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, np_), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, np_), jnp.int32),
+            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
         ],
         interpret=interpret,
     )(a_pad, bt)
-    return d[:, :n], idx[:, :n]
+    return d[:bsz, :n], idx[:bsz, :n]
 
 
 def _use_pallas() -> bool:

@@ -1,0 +1,106 @@
+"""Device-mesh parallelism layer.
+
+Replaces ALL of the reference's multi-device machinery (SURVEY.md §2.8):
+
+- ``torch.nn.DataParallel`` replication (registration/train.py:65,
+  completion/train.py:58) -> data-parallel sharding over a ``Mesh`` with
+  psum gradient reduction inside one jit-compiled step,
+- the 4-process CUDA_VISIBLE_DEVICES index-shard sweep with sleep-600
+  filesystem rendezvous (registration/run_test.sh:6-23,
+  registration/test_mult.py:83-125) -> a single ``shard_map`` over the
+  pair axis; the "combine" step is just the unsharded output,
+- NaiveSyncBatchNorm's all_gather (utils/mm3d_pn2/ops/norm.py:9-24) ->
+  ``psum`` batch stats (see houv_tpu.models.common.BatchNorm).
+
+Collectives ride ICI via XLA; multi-host extends the same mesh over DCN via
+jax.distributed initialization — no NCCL/MPI code anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from houv_tpu.solvers.houv import HOUVConfig, houv_solve
+
+Array = jax.Array
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              devices=None) -> Mesh:
+    """A 1-D mesh over the pair/batch axis — the natural parallel dimension
+    of the MVP workloads (2000 independent registration pairs, 59800
+    completion clouds)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of host arrays with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree
+    )
+
+
+def sharded_houv_solve(
+    src: Array,
+    tgt: Array,
+    key: Array,
+    mesh: Mesh,
+    cfg: HOUVConfig = HOUVConfig(),
+    axis: str = "data",
+):
+    """The entire run_test.sh choreography as one SPMD program.
+
+    src/tgt: (B, N, 3) with B divisible by mesh width. Each device solves its
+    pair shard with an independent PRNG fold; outputs come back sharded and
+    XLA reassembles them — no .npy shards, no sleep, no combine pass.
+    """
+    n_dev = mesh.shape[axis]
+    if src.shape[0] % n_dev:
+        raise ValueError(
+            f"batch {src.shape[0]} not divisible by mesh width {n_dev}"
+        )
+
+    def local_solve(src_l, tgt_l, key_l):
+        my_key = jax.random.fold_in(key_l[0], jax.lax.axis_index(axis))
+        out = houv_solve(src_l, tgt_l, my_key, cfg)
+        # n_retry is a per-shard scalar -> global sum for observability.
+        n_retry = jax.lax.psum(out["n_retry"], axis)
+        return out["transform"], out["rmse"], n_retry
+
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    keys = jnp.broadcast_to(key, (1,) + key.shape)
+    transform, rmse, n_retry = jax.jit(fn)(src, tgt, keys)
+    return {"transform": transform, "rmse": rmse, "n_retry": n_retry}
+
+
+def data_parallel_grads(loss_fn, params, batch, axis: str = "data"):
+    """Per-shard grads + psum-mean — the inside of a DP train step under
+    shard_map. Returns (loss, grads), both psum-averaged over the mesh."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    loss = jax.lax.pmean(loss, axis)
+    grads = jax.lax.pmean(grads, axis)
+    return loss, grads

@@ -1,0 +1,235 @@
+"""HOUV — Hybrid Optimization with Unconstrained Variables, TPU-native.
+
+The champion MVP-registration solver, rebuilt as a single jit-compiled
+program. Reference semantics (registration/train_utils.py:359-572 ``solve``/
+``getPredict_angle`` — the canonical submission path via registration/
+test.py:64 — and the module twin registration/models/houv.py:13-222):
+
+- Each source/target pair is expanded to ``kernel`` random restarts.
+- Per restart, four unconstrained parameters: rotation axis V_c (3,),
+  angle_c (1,), translation direction tran_c (3,), translation scale
+  tran_s (1,), all ~ N(0,1). Optionally the first 26 axes are seeded on the
+  3x3x3 integer lattice minus the origin (houv.py:22-31 — the README's
+  "parameter initialization method").
+- Sine reparametrization: angle = sin(angle_c·π)·π/8 + π/8 + base·π/4
+  (a 45° window per angle_base quadrant), tran_s = sin(tran_s·π)·scale
+  (scale=1 for MVP, train_utils.py:405; the module variant uses
+  0.125+0.125·sin, houv.py:99).
+- Loss = 6·min(cd_p, cd_t) of the 50%-truncated chamfer
+  (train_utils.py:439); the module variant adds the three axis-projected
+  view CDs (houv.py:209-222).
+- Adam(lr=0.1) for 500 steps; best restart wins.
+- Hybrid retry: pairs whose best loss > 0.030 are re-solved at angle_base
+  1..3 keeping the better result (train_utils.py:493-513).
+
+TPU redesign: no per-pair Python loops or retry lists. The restart axis is
+just batch; the 500-step Adam loop is a ``lax.fori_loop`` inside one jit;
+retry passes are static, executed under ``lax.cond`` so they cost nothing
+when no pair exceeds the threshold, with ``jnp.where`` merging — on a mesh,
+pairs shard over devices via shard_map (houv_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from houv_tpu.geometry.rotations import (
+    rodrigues,
+    normalize_translation,
+    rt_to_transformation,
+    rotation_error,
+    translation_error,
+)
+from houv_tpu.metrics.cd import calc_cd_percent, loss_view
+
+Array = jax.Array
+
+_PI = float(jnp.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class HOUVConfig:
+    """Solver hyperparameters (defaults = the canonical submission settings)."""
+
+    kernel: int = 64          # random restarts per pair (train_utils.py:360)
+    steps: int = 500          # Adam iterations (train_utils.py:489)
+    lr: float = 0.1           # module variant uses 0.01 (houv.py:118)
+    percent: float = 0.5      # truncated-CD keep fraction (train_utils.py:417)
+    loss_weight: float = 6.0  # weight on the truncated-CD term
+    use_view_loss: bool = False   # module variant adds projected CDs (houv.py:215)
+    tran_mode: str = "mvp"    # 'mvp': sin·1 (train_utils.py:405); 'bounded': 0.125+0.125·sin
+    lattice_init: bool = True     # seed first 26 axes on the integer lattice
+    retry_threshold: float = 0.030  # train_utils.py:493
+    angle_passes: int = 4     # angle_base 0..3 (train_utils.py:501)
+    use_pallas: bool | None = None  # chamfer dispatch (None = auto by backend)
+
+
+def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
+    """Unconstrained parameters for (batch, kernel) optimization replicas."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v_c = jax.random.normal(k1, (batch, kernel, 3), jnp.float32)
+    if lattice_init:
+        lattice = jnp.array(
+            [
+                (x, y, z)
+                for x in (-1, 0, 1)
+                for y in (-1, 0, 1)
+                for z in (-1, 0, 1)
+                if (x, y, z) != (0, 0, 0)
+            ],
+            jnp.float32,
+        )  # (26, 3)
+        n_lat = min(26, kernel)
+        v_c = v_c.at[:, :n_lat].set(lattice[None, :n_lat])
+    return {
+        "v_c": v_c,
+        "angle_c": jax.random.normal(k2, (batch, kernel, 1), jnp.float32),
+        "tran_c": jax.random.normal(k3, (batch, kernel, 3), jnp.float32),
+        "tran_s": jax.random.normal(k4, (batch, kernel, 1), jnp.float32),
+    }
+
+
+def reparametrize(params, angle_base: Array | int, tran_mode: str = "mvp"):
+    """Unconstrained params -> (R, T) through the sine windows."""
+    angle = (
+        jnp.sin(params["angle_c"] * _PI) * (_PI / 8)
+        + _PI / 8
+        + angle_base * (_PI / 4)
+    )  # (B, K, 1) in [base·45°, base·45° + 45°]
+    if tran_mode == "mvp":
+        tran_s = jnp.sin(params["tran_s"] * _PI)  # scale 1
+    elif tran_mode == "bounded":
+        tran_s = jnp.sin(params["tran_s"] * _PI) * 0.125 + 0.125
+    else:
+        raise ValueError(f"unknown tran_mode {tran_mode!r}")
+    r = rodrigues(angle[..., 0], params["v_c"])          # (B, K, 3, 3)
+    t = normalize_translation(params["tran_c"], tran_s)  # (B, K, 3)
+    return r, t
+
+
+def _apply(src: Array, r: Array, t: Array) -> Array:
+    """src (B, N, 3) × per-restart (B, K, 3, 3)/(B, K, 3) -> (B, K, N, 3)."""
+    return (
+        jnp.einsum(
+            "bnc,bkdc->bknd", src, r, precision=jax.lax.Precision.HIGHEST
+        )
+        + t[:, :, None, :]
+    )
+
+
+def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
+    """Mean loss over all (pair, restart) replicas + per-replica min_1."""
+    r, t = reparametrize(params, angle_base, cfg.tran_mode)
+    bsz, kernel = r.shape[:2]
+    n = src.shape[1]
+    src_t = _apply(src, r, t).reshape(bsz * kernel, n, 3)
+    tgt_r = jnp.broadcast_to(tgt[:, None], (bsz, kernel) + tgt.shape[1:]).reshape(
+        bsz * kernel, -1, 3
+    )
+    cd_p, cd_t = calc_cd_percent(src_t, tgt_r, cfg.percent, cfg.use_pallas)
+    min_1 = jnp.minimum(cd_p, cd_t)  # (B·K,)
+    loss = cfg.loss_weight * min_1
+    if cfg.use_view_loss:
+        for dim in range(3):
+            vp, vt = loss_view(src_t, tgt_r, dim=dim, use_pallas=cfg.use_pallas)
+            loss = loss + jnp.minimum(vp, vt)
+    return loss.mean(), min_1.reshape(bsz, kernel)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def houv_pass(
+    src: Array, tgt: Array, params0, angle_base: Array | int, cfg: HOUVConfig
+):
+    """One full optimization pass at a given angle window.
+
+    Replaces ``getPredict_angle`` (train_utils.py:359-456): Adam over all
+    (pair, restart) replicas jointly for cfg.steps iterations.
+
+    Returns (min_1 (B, K), R (B, K, 3, 3), T (B, K, 3)).
+    """
+    opt = optax.adam(cfg.lr)
+    grad_fn = jax.grad(lambda p: _objective(p, src, tgt, angle_base, cfg)[0])
+
+    def body(_, state):
+        params, opt_state = state
+        grads = grad_fn(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    params, _ = jax.lax.fori_loop(
+        0, cfg.steps, body, (params0, opt.init(params0))
+    )
+    _, min_1 = _objective(params, src, tgt, angle_base, cfg)
+    r, t = reparametrize(params, angle_base, cfg.tran_mode)
+    return min_1, r, t
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig()):
+    """Full hybrid solve (reference ``solve``, train_utils.py:467-572).
+
+    src, tgt: (B, N, 3). Returns a dict:
+      transform (B, 4, 4) — best rigid transform per pair,
+      rmse (B,)           — best-restart truncated-CD loss,
+      n_retry (,)         — how many pairs entered the retry passes.
+
+    The reference gathers the >0.030 pairs into a ragged list and re-solves
+    at angle_base 1..3; here each retry pass is a statically-shaped solve of
+    the full batch, executed under ``lax.cond`` (skipped entirely when no
+    pair needs it) and merged with ``jnp.where`` — same results, no host
+    round-trips, and shard_map-compatible.
+    """
+    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
+
+    min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
+    best = jnp.min(min_1, axis=1)  # (B,)
+    need_retry = best > cfg.retry_threshold
+    n_retry = jnp.sum(need_retry)
+
+    def retry_pass(carry, angle_base):
+        min_1, r, t, best = carry
+
+        def run(_):
+            m2, r2, t2 = houv_pass(src, tgt, params0, angle_base, cfg)
+            best2 = jnp.min(m2, axis=1)
+            improved = jnp.logical_and(need_retry, best2 < best)  # (B,)
+            m = jnp.where(improved[:, None], m2, min_1)
+            rr = jnp.where(improved[:, None, None, None], r2, r)
+            tt = jnp.where(improved[:, None, None], t2, t)
+            b = jnp.where(improved, best2, best)
+            return m, rr, tt, b
+
+        out = jax.lax.cond(
+            jnp.any(need_retry), run, lambda _: (min_1, r, t, best), None
+        )
+        return out, None
+
+    if cfg.angle_passes > 1:
+        bases = jnp.arange(1, cfg.angle_passes, dtype=jnp.float32)
+        (min_1, r, t, best), _ = jax.lax.scan(
+            retry_pass, (min_1, r, t, best), bases
+        )
+
+    # Best restart per pair -> (B, 4, 4) transform.
+    idx = jnp.argmin(min_1, axis=1)  # (B,)
+    r_best = jnp.take_along_axis(r, idx[:, None, None, None], axis=1)[:, 0]
+    t_best = jnp.take_along_axis(t, idx[:, None, None], axis=1)[:, 0]
+    return {
+        "transform": rt_to_transformation(r_best, t_best),
+        "rmse": best,
+        "n_retry": n_retry,
+    }
+
+
+def evaluate_solution(transform: Array, pose_gt: Array):
+    """Rotation (deg) / translation errors vs ground-truth 4x4 poses
+    (reference solve() tail, train_utils.py:566-570)."""
+    r_err = rotation_error(transform[:, :3, :3], pose_gt[:, :3, :3])
+    t_err = translation_error(transform[:, :3, 3], pose_gt[:, :3, 3])
+    return r_err, t_err

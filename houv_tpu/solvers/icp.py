@@ -1,0 +1,125 @@
+"""Batched point-to-point ICP — TPU-native.
+
+Replaces the per-pair Open3D CPU loop of the reference
+(registration/train_ICP.py:137-154: ``o3d.registration.registration_icp``
+point-to-point, threshold 0.02, 500 iterations) and stands in for the
+Go-ICP branch-and-bound baseline (registration/test_goicp.py:153-177) when
+combined with multi-restart initialization.
+
+Everything is batched: nearest neighbors come from the chamfer kernel's
+argmin, the rigid update is a weighted Kabsch (correspondences beyond the
+rejection threshold get zero weight), and the whole iteration runs in a
+``lax.fori_loop`` under one jit — no per-pair Python, no host sync.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.geometry.kabsch import weighted_kabsch
+from houv_tpu.geometry.rotations import rt_to_transformation, rodrigues
+from houv_tpu.ops.chamfer import chamfer
+
+Array = jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "use_pallas")
+)
+def icp_solve(
+    src: Array,
+    tgt: Array,
+    *,
+    threshold: float = 0.02,
+    max_iters: int = 50,
+    init_transform: Array | None = None,
+    use_pallas: bool | None = None,
+):
+    """(B, N, 3) × (B, M, 3) -> dict(transform (B, 4, 4), inlier_rmse (B,)).
+
+    threshold: max correspondence distance (Open3D semantics — pairs beyond
+    it are excluded from the Kabsch update and the inlier RMSE).
+    """
+    bsz, n, _ = src.shape
+
+    if init_transform is None:
+        r0 = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (bsz, 3, 3))
+        t0 = jnp.zeros((bsz, 3), src.dtype)
+    else:
+        r0 = init_transform[:, :3, :3]
+        t0 = init_transform[:, :3, 3]
+
+    thresh_sq = threshold * threshold
+
+    def body(_, state):
+        r, t = state
+        moved = (
+            jnp.einsum(
+                "bnc,bdc->bnd", src, r, precision=jax.lax.Precision.HIGHEST
+            )
+            + t[:, None, :]
+        )
+        d1, _, i1, _ = chamfer(moved, tgt, use_pallas)
+        matched = jnp.take_along_axis(tgt, i1[..., None], axis=1)  # (B, N, 3)
+        w = (d1 < thresh_sq).astype(src.dtype)  # inlier weights
+        # Guard all-outlier pairs: fall back to uniform weights.
+        any_in = jnp.sum(w, axis=1, keepdims=True) > 0
+        w = jnp.where(any_in, w, jnp.ones_like(w))
+        r_new, t_new = weighted_kabsch(src, matched, w)
+        return r_new, t_new
+
+    r, t = jax.lax.fori_loop(0, max_iters, body, (r0, t0))
+
+    moved = (
+        jnp.einsum("bnc,bdc->bnd", src, r, precision=jax.lax.Precision.HIGHEST)
+        + t[:, None, :]
+    )
+    d1, _, _, _ = chamfer(moved, tgt, use_pallas)
+    inlier = (d1 < thresh_sq).astype(src.dtype)
+    denom = jnp.maximum(inlier.sum(axis=1), 1.0)
+    inlier_rmse = jnp.sqrt((d1 * inlier).sum(axis=1) / denom)
+    return {"transform": rt_to_transformation(r, t), "inlier_rmse": inlier_rmse}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "n_restarts", "use_pallas")
+)
+def icp_solve_multistart(
+    src: Array,
+    tgt: Array,
+    key: Array,
+    *,
+    n_restarts: int = 8,
+    threshold: float = 0.1,
+    max_iters: int = 50,
+    use_pallas: bool | None = None,
+):
+    """Global-ish ICP: random rotation restarts, best inlier-RMSE wins
+    (TPU-native stand-in for the Go-ICP baseline's global search)."""
+    bsz = src.shape[0]
+    k1, k2 = jax.random.split(key)
+    axes = jax.random.normal(k1, (n_restarts, bsz, 3))
+    angles = jax.random.uniform(k2, (n_restarts, bsz), maxval=2 * jnp.pi)
+    # Restart 0 is the identity.
+    angles = angles.at[0].set(0.0)
+
+    def run(axis, angle):
+        r0 = rodrigues(angle, axis)
+        init = rt_to_transformation(r0, jnp.zeros((bsz, 3), src.dtype))
+        out = icp_solve(
+            src, tgt,
+            threshold=threshold, max_iters=max_iters,
+            init_transform=init, use_pallas=use_pallas,
+        )
+        return out["transform"], out["inlier_rmse"]
+
+    transforms, rmses = jax.lax.map(lambda ab: run(*ab), (axes, angles))
+    best = jnp.argmin(rmses, axis=0)  # (B,)
+    tf = jnp.take_along_axis(
+        transforms, best[None, :, None, None], axis=0
+    )[0]
+    rm = jnp.take_along_axis(rmses, best[None, :], axis=0)[0]
+    return {"transform": tf, "inlier_rmse": rm}

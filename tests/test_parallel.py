@@ -1,0 +1,52 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4 (d))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from houv_tpu.data import synthesize_registration_pairs
+from houv_tpu.geometry import rotation_error
+from houv_tpu.parallel import make_mesh, shard_batch, sharded_houv_solve
+from houv_tpu.solvers import HOUVConfig, houv_solve
+from houv_tpu.solvers.houv import evaluate_solution
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_solve_runs_and_matches_quality():
+    mesh = make_mesh()
+    data = synthesize_registration_pairs(8, n_points=96, max_angle_deg=40.0, seed=11)
+    src = jnp.asarray(data["rotated_src"])
+    tgt = jnp.asarray(data["rotated_tgt"])
+    cfg = HOUVConfig(kernel=8, steps=120, angle_passes=1, use_pallas=False)
+    out = sharded_houv_solve(src, tgt, jax.random.PRNGKey(0), mesh, cfg)
+    assert out["transform"].shape == (8, 4, 4)
+    r = np.asarray(out["transform"][:, :3, :3])
+    np.testing.assert_allclose(
+        r @ np.swapaxes(r, 1, 2),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (8, 3, 3)),
+        atol=1e-4,
+    )
+    # Sharded solve must reach the same quality regime as single-device.
+    single = houv_solve(src, tgt, jax.random.PRNGKey(0), cfg)
+    r_sh, _ = evaluate_solution(out["transform"], jnp.asarray(data["transforms"]))
+    r_si, _ = evaluate_solution(single["transform"], jnp.asarray(data["transforms"]))
+    assert float(jnp.mean(r_sh)) < float(jnp.mean(r_si)) + 20.0
+
+
+def test_sharded_solve_rejects_indivisible_batch():
+    mesh = make_mesh()
+    src = jnp.zeros((6, 32, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_houv_solve(src, src, jax.random.PRNGKey(0), mesh)
+
+
+def test_shard_batch_places_leading_axis():
+    mesh = make_mesh()
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    shard_shapes = [s.data.shape for s in sharded["x"].addressable_shards]
+    assert all(s == (2, 4) for s in shard_shapes)

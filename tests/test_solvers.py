@@ -1,0 +1,122 @@
+"""End-to-end solver tests: HOUV and batched ICP recover known rigid poses.
+
+This is BASELINE config 1 in miniature (HOUV optimization-only on a small
+synthetic MVP-like subset, CPU-runnable)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from houv_tpu.data import synthesize_registration_pairs
+from houv_tpu.geometry import rodrigues, rotation_error, translation_error
+from houv_tpu.solvers import HOUVConfig, houv_solve, icp_solve
+from houv_tpu.solvers.houv import evaluate_solution, init_params, reparametrize
+from houv_tpu.solvers.icp import icp_solve_multistart
+
+
+def _full_overlap_problem(rng, bsz=2, n=128, max_angle_deg=40.0):
+    src = rng.uniform(-0.5, 0.5, (bsz, n, 3)).astype(np.float32)
+    axes = rng.standard_normal((bsz, 3)).astype(np.float32)
+    angles = np.radians(rng.uniform(5, max_angle_deg, bsz)).astype(np.float32)
+    r = np.asarray(rodrigues(jnp.asarray(angles), jnp.asarray(axes)))
+    t = rng.uniform(-0.3, 0.3, (bsz, 3)).astype(np.float32)
+    tgt = np.einsum("bij,bnj->bni", r, src) + t[:, None]
+    pose = np.zeros((bsz, 4, 4), np.float32)
+    pose[:, :3, :3] = r
+    pose[:, :3, 3] = t
+    pose[:, 3, 3] = 1
+    return src, tgt.astype(np.float32), pose
+
+
+def test_houv_recovers_pose_full_overlap(rng):
+    src, tgt, pose = _full_overlap_problem(rng)
+    cfg = HOUVConfig(kernel=16, steps=300, angle_passes=2, use_pallas=False)
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(0), cfg)
+    r_err, t_err = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(r_err)) < 10.0, np.asarray(r_err)
+    assert float(jnp.mean(t_err)) < 0.1, np.asarray(t_err)
+
+
+def test_houv_retry_handles_large_angle(rng):
+    """A 120° rotation is outside angle_base 0's [0°,45°] window — only the
+    hybrid retry passes can solve it."""
+    src = rng.uniform(-0.5, 0.5, (1, 128, 3)).astype(np.float32)
+    axis = np.array([[0.2, 1.0, -0.4]], np.float32)
+    r = np.asarray(rodrigues(jnp.asarray(np.array([np.radians(120)], np.float32)),
+                             jnp.asarray(axis)))
+    tgt = np.einsum("bij,bnj->bni", r, src).astype(np.float32)
+    pose = np.zeros((1, 4, 4), np.float32)
+    pose[:, :3, :3] = r
+    pose[:, 3, 3] = 1
+
+    cfg = HOUVConfig(kernel=16, steps=300, angle_passes=4, use_pallas=False)
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(1), cfg)
+    r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert int(out["n_retry"]) >= 1  # 120° pair must trip the 0.030 threshold
+    assert float(r_err[0]) < 20.0, float(r_err[0])
+
+    cfg1 = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False)
+    out1 = houv_solve(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(1), cfg1)
+    r_err1, _ = evaluate_solution(out1["transform"], jnp.asarray(pose))
+    # Without retries the solver is stuck in the wrong angle window.
+    assert float(r_err1[0]) > float(r_err[0])
+
+
+def test_houv_on_synthetic_partial_pairs():
+    """Partial-overlap pairs (the real MVP regime): truncated-CD objective
+    must still land within a loose tolerance at small solver budget."""
+    data = synthesize_registration_pairs(
+        4, n_points=128, max_angle_deg=40.0, seed=7
+    )
+    cfg = HOUVConfig(kernel=16, steps=200, angle_passes=2, use_pallas=False)
+    out = houv_solve(
+        jnp.asarray(data["rotated_src"]),
+        jnp.asarray(data["rotated_tgt"]),
+        jax.random.PRNGKey(2),
+        cfg,
+    )
+    r_err, t_err = evaluate_solution(
+        out["transform"], jnp.asarray(data["transforms"])
+    )
+    # Small budget + small clouds: just require better-than-random (90° mean)
+    assert float(jnp.mean(r_err)) < 45.0, np.asarray(r_err)
+
+
+def test_reparametrize_windows():
+    params = init_params(jax.random.PRNGKey(0), 4, 8)
+    for base in range(4):
+        r, t = reparametrize(params, base)
+        assert r.shape == (4, 8, 3, 3)
+        # angles live in [base*45°, base*45°+45°]
+        from houv_tpu.geometry import axis_angle_from_matrix
+
+        deg, _ = axis_angle_from_matrix(r)
+        assert float(jnp.min(deg)) >= base * 45 - 1e-3
+        assert float(jnp.max(deg)) <= base * 45 + 45 + 1e-3
+        # translation norm bounded by tran_mode='mvp' scale 1
+        assert float(jnp.max(jnp.linalg.norm(t, axis=-1))) <= 1.0 + 1e-5
+
+
+def test_icp_converges_small_perturbation(rng):
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=256, max_angle_deg=15.0)
+    out = icp_solve(
+        jnp.asarray(src), jnp.asarray(tgt),
+        threshold=1.0, max_iters=50, use_pallas=False,
+    )
+    r_err, t_err = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(jnp.max(r_err)) < 1.0, np.asarray(r_err)
+    assert float(jnp.max(t_err)) < 0.01
+
+
+def test_icp_multistart_beats_vanilla_on_large_rotation(rng):
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=128, max_angle_deg=170.0)
+    plain = icp_solve(jnp.asarray(src), jnp.asarray(tgt),
+                      threshold=1.0, max_iters=30, use_pallas=False)
+    multi = icp_solve_multistart(
+        jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(3),
+        n_restarts=16, threshold=1.0, max_iters=30, use_pallas=False,
+    )
+    # The guarantee: restart 0 is the identity, so the multistart winner's
+    # inlier RMSE can never exceed vanilla ICP's.
+    assert float(jnp.max(multi["inlier_rmse"] - plain["inlier_rmse"])) <= 1e-5
