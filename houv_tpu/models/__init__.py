@@ -1,0 +1,58 @@
+"""Model registry.
+
+Replaces the reference's string-keyed importlib dispatch
+(``importlib.import_module('.%s' % args.model_name, 'models')``,
+registration/train.py:64, completion/train.py:57) with an explicit
+registry keyed by the same model_name strings the reference configs use.
+"""
+
+from houv_tpu.models.pcn import PCN, PCNEncoder, PCNEncoderLabel, PCNDecoder
+from houv_tpu.models.ecg import ECG, EFEncoder, ECGDecoder, DenseConv
+from houv_tpu.models.vrcnet import (
+    VRCNet,
+    SAModule,
+    SKSAModule,
+    SKNResUnit,
+    SASKNResEncoder,
+    MSAPSKNDecoder,
+    Folding,
+    LinearResBlock,
+)
+from houv_tpu.models.vrcnet_knn import VRCNetKNN, KNNDecoder
+from houv_tpu.models.voxelnet import Asymm3DSpconv
+from houv_tpu.models.dcp import DCP, DGCNN, Pointer
+from houv_tpu.models.deepgmr import DeepGMR, GMRBackbone, get_rri
+from houv_tpu.models.idam import IDAM, GNN
+
+_REGISTRY = {
+    # completion (reference completion/models/*.py)
+    "pcn": PCN,
+    "ecg": ECG,
+    "vrcnet": VRCNet,
+    "vrcnet_knn": VRCNetKNN,
+    # registration (reference registration/models/*.py)
+    "dcp": DCP,
+    "deepgmr": DeepGMR,
+    "idam": IDAM,
+}
+
+
+def get_model(name: str, **kwargs):
+    """Instantiate a model by its reference config model_name."""
+    try:
+        cls = _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+    return cls(**kwargs)
+
+
+__all__ = [
+    "get_model",
+    "PCN", "ECG", "VRCNet", "VRCNetKNN", "DCP", "DeepGMR", "IDAM",
+    "PCNEncoder", "PCNEncoderLabel", "PCNDecoder", "EFEncoder", "ECGDecoder",
+    "DenseConv", "SAModule", "SKSAModule", "SKNResUnit", "SASKNResEncoder",
+    "MSAPSKNDecoder", "Folding", "LinearResBlock", "KNNDecoder",
+    "Asymm3DSpconv", "DGCNN", "Pointer", "GMRBackbone", "get_rri", "GNN",
+]

@@ -1,0 +1,184 @@
+"""Asymmetric sparse-conv voxel encoder (flax) — the champion completion
+model's voxel branch.
+
+Reference: completion/models/segmentator_3d_asymm_spconv.py — factorized
+SubMConv kernels conv1x3/conv3x1/conv1x1x3/... (:11-79), ResContextBlock
+(:81-139), ResBlock with stride-2 height pooling (:142-222), ReconBlock
+dimension-wise sigmoid attention (:283-324), and the Asymm_3d_spconv
+wrapper that max-pools the last two stages into a global feature
+(:325-383). Built on houv_tpu.ops.sparse_conv (gather-GEMM, fixed-capacity
+voxel lists) instead of the spconv runtime.
+
+Note: the reference constructs ResContextBlock(1024, 128) followed by
+ResBlock(512, 512) — a channel mismatch that would fail against real
+spconv; we implement the evident intent (context block outputs 4·init_size
+so the residual chain is consistent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.ops.sparse_conv import (
+    SparseGrid,
+    build_lookup,
+    from_point_voxels,
+    kernel_offsets,
+    masked_max,
+    sparse_conv_down,
+    subm_conv,
+)
+
+Array = jax.Array
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv layer with a factorized kernel (no bias, like the
+    reference's conv1x3/conv3x1/... constructors)."""
+
+    out_channels: int
+    kernel_size: tuple = (3, 3, 3)
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
+        k = int(np.prod(self.kernel_size))
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, sg.features.shape[-1], self.out_channels),
+        )
+        return subm_conv(sg, lookup, w, self.kernel_size)
+
+
+class SparseDownConv(nn.Module):
+    """Strided sparse conv (kernel 3, padding 1)."""
+
+    out_channels: int
+    stride: tuple = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (27, sg.features.shape[-1], self.out_channels),
+        )
+        return sparse_conv_down(sg, lookup, w, self.stride)
+
+
+def _masked_bn(sg: SparseGrid, bn: nn.Module) -> SparseGrid:
+    """BatchNorm over valid voxels only (the reference's BatchNorm1d over
+    the ragged feature list)."""
+    feats = bn(sg.features, mask=sg.mask[..., None])
+    feats = jnp.where(sg.mask[..., None], feats, 0.0)
+    return SparseGrid(feats, sg.coords, sg.mask, sg.grid_size)
+
+
+def _act(sg: SparseGrid, fn) -> SparseGrid:
+    return SparseGrid(fn(sg.features), sg.coords, sg.mask, sg.grid_size)
+
+
+class ResContextBlock(nn.Module):
+    """(1x3x3 -> 3x1x3) vs (3x1x3 -> 1x3x3) two-path residual context
+    (reference segmentator_3d_asymm_spconv.py:81-139)."""
+
+    out_filters: int
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array, train: bool = False):
+        def bn():
+            return nn.BatchNorm(use_running_average=not train,
+                                axis_name=self.axis_name)
+
+        shortcut = SubMConv(self.out_filters, (1, 3, 3))(sg, lookup)
+        shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
+        shortcut = SubMConv(self.out_filters, (3, 1, 3))(shortcut, lookup)
+        shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
+
+        res = SubMConv(self.out_filters, (3, 1, 3))(sg, lookup)
+        res = _masked_bn(_act(res, nn.leaky_relu), bn())
+        res = SubMConv(self.out_filters, (1, 3, 3))(res, lookup)
+        res = _masked_bn(_act(res, nn.leaky_relu), bn())
+        return SparseGrid(
+            res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
+        )
+
+
+class ResBlock(nn.Module):
+    """Two-path factorized residual + stride-2 pooling (reference :142-222).
+    Returns (pooled, pre-pool)."""
+
+    out_filters: int
+    height_pooling: bool = True
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array):
+        shortcut = SubMConv(self.out_filters, (3, 1, 3))(sg, lookup)
+        shortcut = _act(shortcut, nn.leaky_relu)
+        shortcut = SubMConv(self.out_filters, (1, 3, 3))(shortcut, lookup)
+        shortcut = _act(shortcut, nn.leaky_relu)
+
+        res = SubMConv(self.out_filters, (1, 3, 3))(sg, lookup)
+        res = _act(res, nn.leaky_relu)
+        res = SubMConv(self.out_filters, (3, 1, 3))(res, lookup)
+        res = _act(res, nn.leaky_relu)
+
+        res = SparseGrid(
+            res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
+        )
+        stride = (2, 2, 2) if self.height_pooling else (2, 2, 1)
+        pooled = SparseDownConv(self.out_filters, stride)(res, lookup)
+        return pooled, res
+
+
+class ReconBlock(nn.Module):
+    """Dimension-wise sigmoid attention (reference :283-324)."""
+
+    out_filters: int
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
+        a = _act(SubMConv(self.out_filters, (3, 1, 1))(sg, lookup), nn.sigmoid)
+        b = _act(SubMConv(self.out_filters, (1, 3, 1))(sg, lookup), nn.sigmoid)
+        c = _act(SubMConv(self.out_filters, (1, 1, 3))(sg, lookup), nn.sigmoid)
+        att = a.features + b.features + c.features
+        return SparseGrid(att * sg.features, sg.coords, sg.mask, sg.grid_size)
+
+
+class Asymm3DSpconv(nn.Module):
+    """Full voxel encoder: context block + 3 stride-2 ResBlocks + ReconBlock,
+    global feature = max-pooled concat of the last two stages -> (B, 8·init)
+    (reference :325-383; 2·4·init_size = 1024 for init_size=128).
+
+    Inputs: per-point voxel indices (B, N, 3) int32 on the 50³ grid and
+    per-point features (B, N, C) (the PCN_encoder_label point features)."""
+
+    init_size: int = 128
+    grid_size: int = 50
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, grid_ind: Array, point_features: Array,
+                 train: bool = False) -> Array:
+        c = 4 * self.init_size
+        sg = from_point_voxels(grid_ind, point_features, self.grid_size)
+
+        lk = build_lookup(sg)
+        sg = ResContextBlock(c, self.axis_name)(sg, lk, train)
+
+        down1, _ = ResBlock(c, height_pooling=True)(sg, lk)
+        lk1 = build_lookup(down1)
+        down2, _ = ResBlock(c, height_pooling=True)(down1, lk1)
+        lk2 = build_lookup(down2)
+        down3, _ = ResBlock(c, height_pooling=True)(down2, lk2)
+        lk3 = build_lookup(down3)
+        down4 = ReconBlock(c)(down3, lk3)
+
+        a = masked_max(down3)  # (B, 4·init)
+        b = masked_max(down4)
+        return jnp.concatenate([a, b], axis=-1)  # (B, 8·init)

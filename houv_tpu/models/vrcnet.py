@@ -1,0 +1,412 @@
+"""VRCNet — Variational Relational point Completion Network (flax).
+
+Reference: completion/models/vrcnet.py. Dual-path probabilistic modeling:
+PCN encoder -> posterior/prior Linear_ResBlocks -> reparametrized latent ->
+generator added to the global feature (:557-603); relational decoder
+``MSAP_SKN_decoder`` (:368-507): FC coarse_raw -> (optionally 0/1-labeled)
+concat with input -> ``SA_SKN_Res_encoder`` U-Net of point self-attention
+with selective-kernel fusion and edge pooling/unpooling (:21-362) ->
+EF_expansion/Folding upsample -> FPS -> score-based point selection; loss =
+10·CD(coarse_raw) + 0.5·CD(coarse_high) + CD(coarse) + α·CD(fine) +
+20·(KL_rec + KL_g) (:630-640). Features-last layout.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from houv_tpu.metrics import calc_cd, calc_emd
+from houv_tpu.models.common import (
+    EFExpansion,
+    edge_preserve_sampling,
+    gen_grid_up,
+    get_edge_features,
+)
+from houv_tpu.models.pcn import PCNEncoder
+from houv_tpu.ops.grouping import knn_points
+from houv_tpu.ops.interpolate import three_interpolate, three_nn_upsampling
+from houv_tpu.ops.sampling import furthest_point_sample
+
+Array = jax.Array
+
+
+class SAModule(nn.Module):
+    """Point self-attention over a kNN graph (reference vrcnet.py:21-68).
+
+    x (B, N, C), idx (B, N, k) -> (B, N, out_planes), residual."""
+
+    rel_planes: int
+    mid_planes: int
+    out_planes: int
+    share_planes: int = 8
+    k: int = 16
+
+    @nn.compact
+    def __call__(self, x: Array, idx: Array) -> Array:
+        b, n, _ = x.shape
+        identity = x
+        h = nn.relu(x)
+        xn = get_edge_features(h, idx)  # (B, N, k, C)
+        x1 = nn.Dense(self.rel_planes)(h)                 # (B, N, rel)
+        x2 = nn.Dense(self.rel_planes)(xn).reshape(b, n, self.k * self.rel_planes)
+        x3 = nn.Dense(self.mid_planes)(xn)                # (B, N, k, mid)
+
+        w = jnp.concatenate([x1, x2], axis=-1)
+        w = nn.relu(w)
+        w = nn.relu(nn.Dense(self.mid_planes // self.share_planes,
+                             use_bias=False)(w))
+        w = nn.Dense(self.k * self.mid_planes // self.share_planes)(w)
+        w = w.reshape(b, n, self.k, self.mid_planes // self.share_planes)
+        w = jnp.tile(w, (1, 1, 1, self.share_planes))     # (B, N, k, mid)
+
+        out = jnp.sum(w * x3, axis=2)                     # (B, N, mid)
+        out = nn.Dense(self.out_planes)(nn.relu(out))
+        return out + identity
+
+
+class SKSAModule(nn.Module):
+    """Selective-kernel fusion of SA modules at different k
+    (reference vrcnet.py:130-188)."""
+
+    rel_planes: int
+    mid_planes: int
+    out_planes: int
+    share_planes: int = 8
+    ks: tuple = (10, 20)
+    r: int = 2
+    L: int = 32
+
+    @nn.compact
+    def __call__(self, x: Array, idxs: list[Array]) -> Array:
+        d = max(self.out_planes // self.r, self.L)
+        feas = []
+        for i, k in enumerate(self.ks):
+            f = SAModule(self.rel_planes, self.mid_planes, self.out_planes,
+                         self.share_planes, k)(x, idxs[i])
+            feas.append(nn.relu(f))
+        feas = jnp.stack(feas, axis=1)            # (B, nk, N, C)
+        fea_u = jnp.sum(feas, axis=1)             # (B, N, C)
+        fea_s = fea_u.mean(axis=1)                # (B, C)
+        fea_z = nn.Dense(d)(fea_s)
+        att = jnp.stack(
+            [nn.Dense(self.out_planes)(fea_z) for _ in self.ks], axis=1
+        )  # (B, nk, C)
+        att = jax.nn.softmax(att, axis=1)[:, :, None, :]
+        return jnp.sum(feas * att, axis=1)
+
+
+class SKNResUnit(nn.Module):
+    """conv -> SK-SA blocks -> conv, with residual projection
+    (reference vrcnet.py:191-225)."""
+
+    output_size: int
+    ks: tuple = (10, 20)
+    layers: int = 1
+
+    @nn.compact
+    def __call__(self, feat: Array, idxs: list[Array]) -> Array:
+        c = self.output_size
+        x = nn.Dense(c, use_bias=False)(feat)
+        for _ in range(self.layers):
+            x = SKSAModule(c // 16, c // 4, c, 8, self.ks)(x, idxs)
+        x = nn.Dense(c, use_bias=False)(nn.relu(x))
+        return x + nn.Dense(c, use_bias=False)(feat)
+
+
+class SASKNResEncoder(nn.Module):
+    """U-Net of SK-SA units over point resolutions with edge pooling /
+    three-nn unpooling (reference vrcnet.py:228-362).
+
+    features (B, N, input_size) with xyz in the first 3 channels ->
+    (B, N, output_size)."""
+
+    ks: tuple = (10, 20)
+    pk: int = 16
+    output_size: int = 64
+    layers: tuple = (2, 2, 2, 2)
+    pts_num: tuple = (3072, 1536, 768, 384)
+    dropout_rate: float = 0.5
+
+    def _knn_idxs(self, pts):
+        return [knn_points(pts, pts, k)[1] for k in self.ks]
+
+    @nn.compact
+    def __call__(self, features: Array, train: bool = False) -> Array:
+        b = features.shape[0]
+        c1 = 64
+        pt1 = features[..., :3]
+
+        def unpool(feat, src_pts, tgt_pts):
+            idx, w = three_nn_upsampling(tgt_pts, src_pts)
+            return jnp.swapaxes(
+                three_interpolate(jnp.swapaxes(feat, 1, 2), idx, w), 1, 2
+            )
+
+        x = SKNResUnit(c1, self.ks, self.layers[0])(
+            features, self._knn_idxs(pt1)
+        )
+        x1 = nn.relu(x)
+        x, _, pt2 = edge_preserve_sampling(x1, pt1, self.pts_num[1], self.pk)
+        x = SKNResUnit(c1 * 2, self.ks, self.layers[1])(x, self._knn_idxs(pt2))
+        x2 = nn.relu(x)
+        x, _, pt3 = edge_preserve_sampling(x2, pt2, self.pts_num[2], self.pk)
+        x = SKNResUnit(c1 * 4, self.ks, self.layers[2])(x, self._knn_idxs(pt3))
+        x3 = nn.relu(x)
+        x, _, pt4 = edge_preserve_sampling(x3, pt3, self.pts_num[3], self.pk)
+        x = SKNResUnit(c1 * 8, self.ks, self.layers[3])(x, self._knn_idxs(pt4))
+        x4 = nn.relu(x)
+
+        g = nn.Dense(1024)(x4).max(axis=1)  # (B, 1024)
+        g = nn.Dropout(self.dropout_rate, deterministic=not train)(
+            nn.relu(nn.Dense(512)(g))
+        )
+        g = nn.Dropout(self.dropout_rate, deterministic=not train)(
+            nn.relu(nn.Dense(1024)(g))
+        )
+        g = jnp.broadcast_to(g[:, None], (b, self.pts_num[3], 1024))
+
+        x = nn.relu(nn.Dense(c1 * 8)(jnp.concatenate([g, x4], axis=-1)))
+        x = unpool(x, pt4, pt3)
+        x = nn.relu(nn.Dense(c1 * 4)(jnp.concatenate([x, x3], axis=-1)))
+        x = unpool(x, pt3, pt2)
+        x = nn.relu(nn.Dense(c1 * 2)(jnp.concatenate([x, x2], axis=-1)))
+        x = unpool(x, pt2, pt1)
+        x = nn.relu(nn.Dense(c1)(jnp.concatenate([x, x1], axis=-1)))
+        return nn.Dense(self.output_size)(x)
+
+
+class Folding(nn.Module):
+    """Grid folding upsampler (reference vrcnet.py:71-115).
+    point_feat (B, N, C) + global (B, G) -> (B, N·step_ratio, output_size)."""
+
+    output_size: int
+    step_ratio: int
+
+    @nn.compact
+    def __call__(self, point_feat: Array, global_feat: Array) -> Array:
+        b, n, _ = point_feat.shape
+        grid = gen_grid_up(self.step_ratio, 0.2)  # (r, 2)
+        pf = jnp.repeat(point_feat, self.step_ratio, axis=1)
+        gf = jnp.broadcast_to(
+            global_feat[:, None], (b, n * self.step_ratio, global_feat.shape[-1])
+        )
+        grid_feat = jnp.tile(grid[None], (b, n, 1))
+        h = jnp.concatenate([gf, pf, grid_feat], axis=-1)
+        return nn.relu(nn.Dense(self.output_size)(h))
+
+
+class LinearResBlock(nn.Module):
+    """relu -> Dense -> relu -> Dense, + Dense residual
+    (reference vrcnet.py:118-128)."""
+
+    output_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(x)
+        h = nn.Dense(x.shape[-1])(h)
+        h = nn.Dense(self.output_size)(nn.relu(h))
+        return h + nn.Dense(self.output_size)(x)
+
+
+class MSAPSKNDecoder(nn.Module):
+    """Multi-stage relational decoder (reference vrcnet.py:368-507).
+    Returns (coarse_raw, coarse_high, coarse, fine), all (B, ·, 3)."""
+
+    num_coarse_raw: int
+    num_fps: int
+    num_coarse: int
+    num_fine: int
+    layers: tuple = (2, 2, 2, 2)
+    knn_list: tuple = (10, 20)
+    pk: int = 10
+    points_label: bool = False
+    local_folding: bool = False
+
+    @nn.compact
+    def __call__(self, global_feat: Array, point_input: Array,
+                 train: bool = False):
+        b = global_feat.shape[0]
+        n_input = point_input.shape[1]
+
+        h = nn.relu(nn.Dense(1024)(global_feat))
+        h = nn.relu(nn.Dense(1024)(h))
+        coarse_raw = nn.Dense(self.num_coarse_raw * 3)(h).reshape(
+            b, self.num_coarse_raw, 3
+        )
+
+        if self.points_label:
+            coarse_in = jnp.concatenate(
+                [coarse_raw, jnp.zeros((b, self.num_coarse_raw, 1))], axis=-1
+            )
+            input_in = jnp.concatenate(
+                [point_input, jnp.ones((b, n_input, 1))], axis=-1
+            )
+        else:
+            coarse_in, input_in = coarse_raw, point_input
+
+        points = jnp.concatenate([coarse_in, input_in], axis=1)
+        total_pts = points.shape[1]
+        pts_num = (total_pts, total_pts // 2, total_pts // 4, total_pts // 8)
+        dense_feat = SASKNResEncoder(
+            ks=self.knn_list, pk=self.pk, output_size=256,
+            layers=self.layers, pts_num=pts_num,
+        )(points, train)
+
+        up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))
+        if up_scale >= 2:
+            dense_feat = EFExpansion(256, 64, step_ratio=up_scale, k=4)(
+                dense_feat
+            )
+        coarse_features = nn.relu(nn.Dense(64)(dense_feat))
+        coarse_high = nn.Dense(3)(coarse_features)
+
+        if coarse_high.shape[1] > self.num_fps:
+            idx_fps = furthest_point_sample(coarse_high, self.num_fps)
+            coarse_fps = jnp.take_along_axis(coarse_high, idx_fps[..., None], 1)
+            coarse_features = jnp.take_along_axis(
+                coarse_features, idx_fps[..., None], 1
+            )
+        else:
+            coarse_fps = coarse_high
+
+        if coarse_fps.shape[1] > self.num_coarse:
+            s = nn.relu(nn.Dense(16)(coarse_features))
+            s = nn.relu(nn.Dense(8)(s))
+            scores = jax.nn.softplus(nn.Dense(1)(s))[..., 0]  # (B, M)
+            _, idx_scores = jax.lax.top_k(scores, self.num_coarse)
+            coarse = jnp.take_along_axis(coarse_fps, idx_scores[..., None], 1)
+            coarse_features = jnp.take_along_axis(
+                coarse_features, idx_scores[..., None], 1
+            )
+        else:
+            coarse = coarse_fps
+
+        if coarse.shape[1] < self.num_fine:
+            ratio = self.num_fine // self.num_coarse
+            if self.local_folding:
+                up = Folding(256, ratio)(coarse_features, global_feat)
+                center = jnp.repeat(coarse, ratio, axis=1)
+                fine = nn.Dense(3)(nn.relu(nn.Dense(64)(up))) + center
+            else:
+                up = EFExpansion(64, 256, step_ratio=ratio, k=4)(coarse_features)
+                fine = nn.Dense(3)(nn.relu(nn.Dense(64)(up)))
+        else:
+            fine = coarse
+        return coarse_raw, coarse_high, coarse, fine
+
+
+def _kl_normal(mu0, std0, mu1, std1):
+    """KL(N(mu0, std0) || N(mu1, std1)), elementwise."""
+    v0, v1 = std0**2, std1**2
+    return jnp.log(std1 / std0) + (v0 + (mu0 - mu1) ** 2) / (2 * v1) - 0.5
+
+
+class VRCNet(nn.Module):
+    """Full dual-path VRCNet with in-model losses
+    (reference vrcnet.py Model:510-656). Needs a 'latent' RNG at call time
+    (the reparametrization rsample)."""
+
+    num_points: int = 2048
+    num_coarse_raw: int = 1024
+    num_fps: int = 2048
+    num_coarse: int = 2048
+    size_z: int = 128
+    global_feature_size: int = 1024
+    layers: tuple = (2, 2, 2, 2)
+    knn_list: tuple = (10, 20)
+    pk: int = 10
+    points_label: bool = False
+    local_folding: bool = False
+    distribution_loss: str = "KLD"
+    train_loss: str = "cd"
+    eval_emd: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, gt: Array | None = None,
+                 prefix: str = "train", alpha: float | None = None):
+        n_input = x.shape[1]
+        encoder = PCNEncoder(self.global_feature_size)
+        post1 = LinearResBlock(self.global_feature_size)
+        post2 = LinearResBlock(self.size_z * 2)
+        prior = LinearResBlock(self.size_z * 2)
+        generator = LinearResBlock(self.global_feature_size)
+        decoder = MSAPSKNDecoder(
+            self.num_coarse_raw, self.num_fps, self.num_coarse,
+            self.num_points, self.layers, self.knn_list, self.pk,
+            self.points_label, self.local_folding,
+        )
+
+        if prefix == "train":
+            y_idx = furthest_point_sample(gt, n_input)
+            y = jnp.take_along_axis(gt, y_idx[..., None], axis=1)
+            gt = jnp.concatenate([gt, gt], axis=0)
+            points = jnp.concatenate([x, y], axis=0)
+            x = jnp.concatenate([x, x], axis=0)
+        else:
+            points = x
+        feat = encoder(points)
+
+        if prefix == "train":
+            feat_x, feat_y = jnp.split(feat, 2, axis=0)
+            o_x = post2(post1(feat_x))
+            q_mu, q_std = jnp.split(o_x, 2, axis=1)
+            o_y = prior(feat_y)
+            p_mu, p_std = jnp.split(o_y, 2, axis=1)
+            q_std = jax.nn.softplus(q_std)
+            p_std = jax.nn.softplus(p_std)
+            k1, k2 = jax.random.split(self.make_rng("latent"))
+            z_q = q_mu + q_std * jax.random.normal(k1, q_mu.shape)
+            z_p = p_mu + p_std * jax.random.normal(k2, p_mu.shape)
+            z = jnp.concatenate([z_q, z_p], axis=0)
+            feat = jnp.concatenate([feat_x, feat_x], axis=0)
+        else:
+            o_x = post2(post1(feat))
+            q_mu, q_std = jnp.split(o_x, 2, axis=1)
+            q_std = jax.nn.softplus(q_std)
+            z = q_mu + q_std * jax.random.normal(
+                self.make_rng("latent"), q_mu.shape
+            )
+
+        feat = feat + generator(z)
+        coarse_raw, coarse_high, coarse, fine = decoder(
+            feat, x, train=(prefix == "train")
+        )
+
+        if prefix == "train":
+            if self.distribution_loss == "KLD":
+                dl_rec = _kl_normal(
+                    jnp.zeros_like(p_mu), jnp.ones_like(p_std), p_mu, p_std
+                )
+                dl_g = _kl_normal(
+                    jax.lax.stop_gradient(p_mu),
+                    jax.lax.stop_gradient(p_std),
+                    q_mu, q_std,
+                )
+            else:
+                raise NotImplementedError("only KLD is implemented")
+            if self.train_loss != "cd":
+                raise NotImplementedError("only CD is supported")
+            loss1, _ = calc_cd(coarse_raw, gt)
+            loss2, _ = calc_cd(coarse_high, gt)
+            loss3, _ = calc_cd(coarse, gt)
+            loss4, loss4_t = calc_cd(fine, gt)
+            total = (
+                loss1.mean() * 10 + loss2.mean() * 0.5 + loss3.mean()
+                + loss4.mean() * alpha
+                + (dl_rec.mean() + dl_g.mean()) * 20
+            )
+            return {"out2": fine, "loss2": loss4_t, "total_loss": total}
+        if prefix == "val":
+            cd_p, cd_t, f1 = calc_cd(fine, gt, calc_f1=True)
+            out = {"out1": coarse_raw, "out2": fine, "cd_p": cd_p,
+                   "cd_t": cd_t, "f1": f1}
+            if self.eval_emd:
+                out["emd"] = calc_emd(fine, gt, eps=0.004, iterations=3000)
+            return out
+        return {"result": fine}

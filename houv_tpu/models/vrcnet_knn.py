@@ -1,0 +1,121 @@
+"""vrcnet_knn — the champion completion submission (flax).
+
+Reference: completion/models/vrcnet_knn.py + cfgs/vrcnt_knn.yaml
+(num_coarse 1024, num_fine 3072, num_native 2048, feature_size 2048,
+layers 1,1,1,1, knn_list [16]). Label-conditioned PCN encoder
+(completion/models/pcn.py:31-58) + sparse-conv voxel branch
+(Asymm_3d_spconv on a 50³ grid) concatenated into a 2048-d global feature
+(:466-483); simplified decoder (:362-428): FC coarse (tanh MLP) ->
+SA_SKN encoder over coarse+input -> tanh conv fine (3072) -> FPS to 2048
+"native" points; loss = sum of 4 CDs (:492-500).
+
+Naming note: the reference decoder returns (coarse, fine, fine, naive) and
+the model unpacks them as (coarse, naive, fine, points) — i.e. its 'naive'
+loss is on the fine cloud and its 'points' loss on the FPS-native cloud.
+We keep the effective loss (CD(coarse) + 2·CD(fine) + CD(native)).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.metrics import calc_cd
+from houv_tpu.models.pcn import PCNEncoderLabel
+from houv_tpu.models.voxelnet import Asymm3DSpconv
+from houv_tpu.models.vrcnet import SASKNResEncoder
+from houv_tpu.ops.sampling import furthest_point_sample
+
+Array = jax.Array
+
+
+class KNNDecoder(nn.Module):
+    """FC coarse -> SA_SKN dense features -> fine + FPS-native points
+    (reference vrcnet_knn.py MSAP_SKN_decoder:362-428)."""
+
+    num_native: int = 2048
+    num_coarse: int = 1024
+    num_fine: int = 3072
+    layers: tuple = (1, 1, 1, 1)
+    knn_list: tuple = (16,)
+    pk: int = 10
+
+    @nn.compact
+    def __call__(self, global_feat: Array, origin_points: Array,
+                 train: bool = False):
+        b = global_feat.shape[0]
+        h = nn.relu(nn.Dense(1024)(global_feat))
+        h = jnp.tanh(nn.Dense(1024)(h))
+        coarse = nn.Dense(self.num_coarse * 3)(h).reshape(b, self.num_coarse, 3)
+
+        points = jnp.concatenate([coarse, origin_points], axis=1)
+        fine_feat = SASKNResEncoder(
+            ks=self.knn_list, pk=self.pk, output_size=256, layers=self.layers,
+            pts_num=(
+                points.shape[1], points.shape[1] // 2,
+                points.shape[1] // 4, points.shape[1] // 8,
+            ),
+        )(points, train)
+
+        fine = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(fine_feat)))
+
+        idx = furthest_point_sample(fine, self.num_native)
+        native_feat = jnp.take_along_axis(fine_feat, idx[..., None], axis=1)
+        native = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(native_feat)))
+        return coarse, fine, native
+
+
+class VRCNetKNN(nn.Module):
+    """Champion completion model (reference vrcnet_knn.py Model:431-516)."""
+
+    num_native: int = 2048
+    num_coarse: int = 1024
+    num_fine: int = 3072
+    feature_size: int = 2048
+    global_feature_size: int = 1024
+    layers: tuple = (1, 1, 1, 1)
+    knn_list: tuple = (16,)
+    pk: int = 10
+    voxel_grid_size: int = 50
+    voxel_init_size: int = 128
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: Array, gt: Array | None = None,
+                 label: Array | None = None, coords: Array | None = None,
+                 prefix: str = "train"):
+        if label is None:
+            label = jnp.zeros((x.shape[0],), jnp.int32)
+        feat, point_feat = PCNEncoderLabel(self.global_feature_size)(x, label)
+
+        if coords is not None:
+            # Voxel branch: per-point 1024-d features scattered onto the 50³
+            # grid (replaces the batch-flattened F.pad(coords) + spconv path,
+            # reference :466-481 — batching is native here, no index packing).
+            feat_voxel = Asymm3DSpconv(
+                self.voxel_init_size, self.voxel_grid_size, self.axis_name
+            )(coords, point_feat, train=(prefix == "train"))
+        else:
+            feat_voxel = jnp.zeros(
+                (feat.shape[0], 8 * self.voxel_init_size), feat.dtype
+            )
+        feat = jnp.concatenate([feat, feat_voxel], axis=-1)  # (B, 2048)
+
+        coarse, fine, native = KNNDecoder(
+            self.num_native, self.num_coarse, self.num_fine,
+            self.layers, self.knn_list, self.pk,
+        )(feat, x, train=(prefix == "train"))
+
+        if prefix == "train":
+            loss1, _ = calc_cd(coarse, gt)
+            loss2, _ = calc_cd(fine, gt)
+            loss3, _ = calc_cd(fine, gt)
+            loss4, loss4_t = calc_cd(native, gt)
+            total = loss1.mean() + loss2.mean() + loss3.mean() + loss4.mean()
+            return {"out2": fine, "loss2": loss4_t, "total_loss": total}
+        if prefix == "val":
+            cd_p, cd_t, f1 = calc_cd(fine, gt, calc_f1=True)
+            return {"out1": coarse, "out2": native, "cd_p": cd_p,
+                    "cd_t": cd_t, "f1": f1}
+        return {"result": fine}

@@ -1,0 +1,193 @@
+"""Model smoke + semantics tests: init, train/val/test forward, gradients.
+
+Small point counts keep CPU runtime sane; shapes mirror the reference's
+contracts (completion returns (out, loss, total_loss)-style dicts;
+registration returns loss/metrics dicts)."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from houv_tpu.models import get_model
+from houv_tpu.models.deepgmr import get_rri, gmm_params, gmm_register
+from houv_tpu.geometry import rodrigues, rotation_error
+
+
+def _clouds(rng, b=2, n=128):
+    x = rng.uniform(-0.5, 0.5, (b, n, 3)).astype(np.float32)
+    gt = rng.uniform(-0.5, 0.5, (b, n, 3)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(gt)
+
+
+def test_pcn_train_val_test(rng):
+    x, gt = _clouds(rng, 2, 128)
+    model = get_model("pcn", num_points=128, num_coarse=64)
+    params = model.init(jax.random.PRNGKey(0), x, gt, "train", 0.5)
+    out = model.apply(params, x, gt, "train", 0.5)
+    assert out["total_loss"].shape == ()
+    assert out["out2"].shape == (2, 128, 3)
+    val = model.apply(params, x, gt, "val")
+    assert val["cd_p"].shape == (2,)
+    test = model.apply(params, x, prefix="test")
+    assert test["result"].shape == (2, 128, 3)
+    # gradient flows
+    def loss_fn(p):
+        return model.apply(p, x, gt, "train", 0.5)["total_loss"]
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_ecg_forward(rng):
+    x, gt = _clouds(rng, 1, 128)
+    model = get_model("ecg", num_points=128, num_coarse=64, num_input=128)
+    params = model.init(jax.random.PRNGKey(0), x, gt, "train", 0.5)
+    out = model.apply(params, x, gt, "train", 0.5)
+    assert jnp.isfinite(out["total_loss"])
+    test = model.apply(params, x, prefix="test")
+    assert test["result"].shape[0] == 1
+
+
+def test_vrcnet_train_and_val(rng):
+    x, gt = _clouds(rng, 1, 256)
+    model = get_model(
+        "vrcnet", num_points=256, num_coarse_raw=128, num_fps=256,
+        num_coarse=256, layers=(1, 1, 1, 1), knn_list=(8,), pk=8,
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, x, gt, "train", 0.5)
+    out = model.apply(params, x, gt, "train", 0.5,
+                      rngs={"latent": jax.random.PRNGKey(3),
+                            "dropout": jax.random.PRNGKey(4)})
+    assert jnp.isfinite(out["total_loss"])
+    assert out["out2"].shape == (2, 256, 3)  # dual path doubles the batch
+    val = model.apply(params, x, gt, "val",
+                      rngs={"latent": jax.random.PRNGKey(5)})
+    assert val["cd_p"].shape == (1,)
+
+
+def test_vrcnet_knn_with_voxels(rng):
+    from houv_tpu.ops.voxel import voxel_grid_indices
+
+    x, gt = _clouds(rng, 1, 256)
+    gt3 = jnp.concatenate([gt, gt, gt], axis=1)[:, :384]
+    coords = voxel_grid_indices(x, grid_size=20)
+    label = jnp.zeros((1,), jnp.int32)
+    model = get_model(
+        "vrcnet_knn", num_native=256, num_coarse=128, num_fine=384,
+        layers=(1, 1, 1, 1), knn_list=(8,), pk=8,
+        voxel_grid_size=20, voxel_init_size=16,
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, gt3, label, coords, "train",
+    )
+    out, _ = model.apply(
+        params, x, gt3, label, coords, "train", mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert jnp.isfinite(out["total_loss"])
+    test = model.apply(params, x, label=label, coords=coords, prefix="test")
+    assert test["result"].shape == (1, 384, 3)
+
+
+def test_dcp_forward_and_loss(rng):
+    x, _ = _clouds(rng, 2, 128)
+    r = rodrigues(jnp.asarray(np.float32(0.3)), jnp.asarray([0.0, 0.0, 1.0]))
+    tgt = x @ r.T + jnp.asarray([0.05, 0.0, 0.0])
+    t_gt = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).at[:, :3, :3].set(r)
+    t_gt = t_gt.at[:, :3, 3].set(jnp.asarray([0.05, 0.0, 0.0]))
+
+    model = get_model("dcp")
+    variables = model.init(jax.random.PRNGKey(0), x, tgt, t_gt, "train", True)
+    out, _ = model.apply(
+        variables, x, tgt, t_gt, "train", True, mutable=["batch_stats"]
+    )
+    assert jnp.isfinite(out["loss"])
+    assert out["transform"].shape == (2, 4, 4)
+    # inference without gt returns just the transform
+    t12 = model.apply(variables, x, tgt, None, "test", False)
+    assert t12.shape == (2, 4, 4)
+    rr = np.asarray(t12[:, :3, :3])
+    np.testing.assert_allclose(
+        rr @ np.swapaxes(rr, 1, 2),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3)),
+        atol=1e-4,
+    )
+
+
+def test_deepgmr_perfect_gamma_registers_exactly(rng):
+    """With identical clusters on both clouds, gmm_register must recover the
+    exact transform — validates the mixture Procrustes math."""
+    pts1 = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32))
+    r = rodrigues(jnp.asarray(np.float32(0.8)), jnp.asarray([0.2, 1.0, -0.3]))
+    t = jnp.asarray([0.1, -0.2, 0.3])
+    pts2 = pts1 @ r.T + t
+    # random soft assignments shared by both clouds
+    gamma = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32)), -1
+    )
+    pi1, mu1, _ = gmm_params(gamma, pts1)
+    _, mu2, sigma2 = gmm_params(gamma, pts2)
+    t12 = gmm_register(pi1, mu1, mu2, sigma2)
+    err = rotation_error(t12[:, :3, :3], jnp.broadcast_to(r, (2, 3, 3)))
+    assert float(jnp.max(err)) < 0.5
+    np.testing.assert_allclose(
+        np.asarray(t12[:, :3, 3]), np.broadcast_to(np.asarray(t), (2, 3)),
+        atol=1e-3,
+    )
+
+
+def test_deepgmr_model(rng):
+    x, _ = _clouds(rng, 2, 64)
+    tgt = x + 0.1
+    t_gt = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).at[:, :3, 3].set(0.1)
+    model = get_model("deepgmr", rri_size=8)
+    variables = model.init(jax.random.PRNGKey(0), x, tgt, t_gt, "train", True)
+    out, _ = model.apply(
+        variables, x, tgt, t_gt, "train", True, mutable=["batch_stats"]
+    )
+    assert jnp.isfinite(out["loss"])
+
+
+def test_rri_rotation_invariance(rng):
+    pts = jnp.asarray(rng.uniform(-1, 1, (1, 48, 3)).astype(np.float32))
+    r = rodrigues(jnp.asarray(np.float32(1.1)), jnp.asarray([1.0, 0.5, -0.2]))
+    f1 = np.asarray(get_rri(pts, 6)).reshape(1, 48, 6, 4)
+    f2 = np.asarray(get_rri(pts @ r.T, 6)).reshape(1, 48, 6, 4)
+    # rp/rq/theta are strictly rotation-invariant
+    np.testing.assert_allclose(f1[..., :3], f2[..., :3], atol=2e-2)
+    # phi is an angle in [0, 2π): compare on the circle (float noise can
+    # flip ε <-> 2π-ε at the wrap; the reference has the same sensitivity)
+    dphi = np.abs(f1[..., 3] - f2[..., 3])
+    dphi = np.minimum(dphi, 2 * np.pi - dphi)
+    assert np.quantile(dphi, 0.95) < 0.05
+
+
+def test_idam_train_and_infer(rng):
+    x, _ = _clouds(rng, 2, 96)
+    r = rodrigues(jnp.asarray(np.float32(0.2)), jnp.asarray([0.0, 1.0, 0.0]))
+    tgt = x @ r.T
+    t_gt = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).at[:, :3, :3].set(r)
+    model = get_model("idam")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        x, tgt, t_gt, "train", True,
+    )
+    out, _ = model.apply(
+        variables, x, tgt, t_gt, "train", True,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert jnp.isfinite(out["loss"])
+    # inference path (top-k elimination, no sampling rng needed)
+    tf = model.apply(variables, x, tgt, None, "test", False)
+    assert tf.shape == (2, 4, 4)
+
+
+def test_registry_unknown_name():
+    with pytest.raises(KeyError, match="unknown model"):
+        get_model("nope")
