@@ -141,8 +141,9 @@ class DeepGMR(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, pts1: Array, pts2: Array, t_gt: Array | None = None,
+    def __call__(self, src: Array, tgt: Array, t_gt: Array | None = None,
                  prefix: str = "train", train: bool = False):
+        pts1, pts2 = src, tgt  # reference naming (deepgmr.py pts1/pts2)
         if self.use_rri:
             feats1 = get_rri(pts1, self.rri_size)
             feats2 = get_rri(pts2, self.rri_size)

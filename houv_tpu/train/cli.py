@@ -1,0 +1,169 @@
+"""Command-line drivers.
+
+Same surface as the reference (``python train.py -c cfgs/X.yaml``,
+``python test.py -c cfgs/X.yaml [-l L -r R]`` — registration/train.py,
+registration/test_mult.py:83-98) with one driver for both workloads; the
+model_name in the config selects the task. When the MVP .h5 files are
+absent, synthetic MVP-like data keeps every path runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from houv_tpu.data import (
+    MVPCompletionDataset,
+    MVPRegistrationDataset,
+    synthesize_completion_set,
+    synthesize_registration_pairs,
+)
+from houv_tpu.train.config import Config, load_config
+from houv_tpu.train.harness import CompletionTrainer, RegistrationTrainer
+from houv_tpu.train.submission import write_results_h5, write_submission
+from houv_tpu.utils.logging_utils import setup_logging
+
+REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv"}
+
+
+def is_registration(cfg: Config) -> bool:
+    return cfg.model_name in REGISTRATION_MODELS or cfg.dataset.endswith("rg")
+
+
+def build_dataset(cfg: Config, split: str, index_range=None):
+    registration = is_registration(cfg)
+    if cfg.data_path and os.path.exists(cfg.data_path):
+        if registration:
+            return MVPRegistrationDataset(
+                split, path=cfg.data_path, max_angle_deg=cfg.max_angle,
+                max_trans=cfg.max_trans, index_range=index_range,
+                category=cfg.category,
+            )
+        return MVPCompletionDataset(
+            split, path=cfg.data_path, scale_aug=cfg.scale_aug,
+            index_range=index_range,
+        )
+    # Synthetic fallback (the large MVP .h5 files are not distributed).
+    n = 64 if split != "train" else 128
+    if registration:
+        data = synthesize_registration_pairs(
+            n, n_points=cfg.num_points, max_angle_deg=cfg.max_angle,
+            max_trans=cfg.max_trans, seed=2021 if split == "train" else 7,
+        )
+        return MVPRegistrationDataset(
+            split, data=data, max_angle_deg=cfg.max_angle,
+            max_trans=cfg.max_trans, index_range=index_range,
+        )
+    data = synthesize_completion_set(
+        max(n // 8, 2), views_per_model=8, n_partial=cfg.num_points,
+        n_complete=cfg.num_points, seed=2021 if split == "train" else 7,
+    )
+    return MVPCompletionDataset(
+        split, data=data, views_per_model=8, scale_aug=cfg.scale_aug,
+        index_range=index_range,
+    )
+
+
+def make_trainer(cfg: Config):
+    if is_registration(cfg):
+        return RegistrationTrainer(cfg)
+    return CompletionTrainer(cfg)
+
+
+def train_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+    trainer = make_trainer(cfg)
+    setup_logging(trainer.log_dir)
+    logging.getLogger("houv_tpu").info("config: %s", cfg)
+    train_ds = build_dataset(cfg, "train")
+    val_ds = build_dataset(cfg, "val")
+    trainer.fit(train_ds, val_ds)
+
+
+def test_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-l", type=int, default=None)
+    p.add_argument("-r", type=int, default=None)
+    p.add_argument("--combine", default=False)
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+    setup_logging(None)
+    log = logging.getLogger("houv_tpu")
+
+    index_range = (args.l, args.r) if args.l is not None else None
+    ds = build_dataset(cfg, "test", index_range=index_range)
+
+    if cfg.model_name == "houv":
+        from houv_tpu.parallel import make_mesh, sharded_houv_solve
+        from houv_tpu.solvers import HOUVConfig
+
+        mesh = make_mesh(cfg.n_devices)
+        n_dev = mesh.devices.size
+        n = (len(ds) // n_dev) * n_dev
+        batch = ds.get_batch(np.arange(n))
+        scfg = HOUVConfig(
+            kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
+            retry_threshold=cfg.retry_threshold,
+            angle_passes=cfg.angle_passes,
+        )
+        out = sharded_houv_solve(
+            jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+            jax.random.PRNGKey(cfg.manual_seed or 2021), mesh, scfg,
+        )
+        results = np.asarray(out["transform"])
+        log.info("solved %d pairs, %d retries", n, int(out["n_retry"]))
+    else:
+        trainer = make_trainer(cfg)
+        first = ds.get_batch(np.arange(min(cfg.batch_size, len(ds))))
+        # test split has no gt: init with inputs as stand-in gt
+        init_batch = dict(first)
+        init_batch.setdefault("gt", first.get("partial", first.get("src")))
+        init_batch.setdefault("transform", np.broadcast_to(
+            np.eye(4, dtype=np.float32), (len(init_batch["gt"]), 4, 4)
+        ))
+        trainer.init_state(init_batch)
+        outs = []
+        from houv_tpu.data.pipeline import batch_iterator
+
+        for batch in batch_iterator(ds, cfg.batch_size, pad_last=True):
+            valid = int(batch.pop("valid"))
+            if is_registration(cfg):
+                out = trainer.model.apply(
+                    trainer._variables(), jnp.asarray(batch["src"]),
+                    jnp.asarray(batch["tgt"]), None, "test", False,
+                )
+            else:
+                kwargs = dict(prefix="test")
+                if cfg.model_name == "vrcnet_knn":
+                    kwargs.update(label=jnp.asarray(batch["label"]))
+                from houv_tpu.train.harness import _step_rngs
+
+                out = trainer.model.apply(
+                    trainer._variables(), jnp.asarray(batch["partial"]),
+                    rngs=_step_rngs(cfg.model_name, jax.random.PRNGKey(0), 0)
+                    or None,
+                    **kwargs,
+                )
+                out = out["result"]
+            outs.append(np.asarray(out)[:valid])
+        results = np.concatenate(outs, axis=0)
+
+    suffix = f"_{args.l}_{args.r}" if index_range else ""
+    out_dir = os.path.join(cfg.work_dir, cfg.model_name)
+    h5_path = write_results_h5(
+        os.path.join(out_dir, f"results{suffix}.h5"), results
+    )
+    zip_path = write_submission(
+        os.path.join(out_dir, f"submission{suffix}.zip"), h5_path
+    )
+    log.info("wrote %s and %s", h5_path, zip_path)
+    return h5_path

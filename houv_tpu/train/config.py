@@ -1,0 +1,135 @@
+"""Typed configuration with the reference's YAML surface.
+
+The reference reads flat YAML into a munch attribute object with zero
+validation (registration/test_mult.py:94). Here the same YAML keys map onto
+a typed dataclass — unknown keys are rejected, types are coerced, and the
+reference's comma-separated string lists ("0.01, 0.1, 0.5, 1",
+"1, 1, 1, 1") are parsed into tuples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+
+def _parse_tuple(v, typ=float):
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple)):
+        return tuple(typ(x) for x in v)
+    if isinstance(v, str):
+        return tuple(typ(x.strip()) for x in v.split(","))
+    return (typ(v),)
+
+
+@dataclasses.dataclass
+class Config:
+    # experiment
+    model_name: str = "pcn"
+    flag: str = "debug"
+    work_dir: str = "log/"
+    load_model: str | None = None
+    manual_seed: int | None = None
+
+    # data
+    dataset: str = "mvp_cp"          # mvp_cp | mvp_rg | synthetic_cp | synthetic_rg
+    data_path: str | None = None
+    num_points: int = 2048
+    batch_size: int = 32
+    every_batch_size: int = 32
+    workers: int = 0
+    max_angle: float = 45.0          # registration pose synthesis (degrees)
+    max_trans: float = 0.5
+    category: int | None = None
+    scale_aug: bool = True
+
+    # optimization
+    nepoch: int = 100
+    start_epoch: int = 0
+    lr: float = 1e-4
+    lr_decay: bool = True
+    lr_decay_interval: int | None = 40
+    lr_decay_rate: float = 0.7
+    lr_step_decay_epochs: tuple | None = None
+    lr_step_decay_rates: tuple | None = None
+    lr_clip: float = 1e-6
+    optimizer: str = "Adam"
+    weight_decay: float = 0.0
+    betas: tuple = (0.9, 0.999)
+    varying_constant: tuple | None = (0.01, 0.1, 0.5, 1.0)
+    varying_constant_epochs: tuple | None = (5, 15, 30)
+
+    # loss / eval
+    loss: str = "cd"
+    eval_emd: bool = False
+    step_interval_to_print: int = 500
+    epoch_interval_to_save: int = 1
+    epoch_interval_to_val: int = 1
+
+    # model hyperparameters (union of the reference cfgs)
+    layers: tuple = (2, 2, 2, 2)
+    knn_list: tuple = (10, 20)
+    pk: int = 10
+    points_label: bool = False
+    local_folding: bool = False
+    num_coarse: int = 1024
+    num_coarse_raw: int = 1024
+    num_fps: int = 2048
+    num_fine: int = 3072
+    num_native: int = 2048
+    feature_size: int = 2048
+    distribution_loss: str = "KLD"
+    use_rri: bool = True
+    rri_size: int = 20
+    num_groups: int = 16
+    descriptor_size: int = 64
+    num_iters: int = 3
+    use_fpfh: bool = False
+    use_tnet: bool = False
+
+    # HOUV solver
+    kernel: int = 64
+    num_epochs: int = 500            # solver inner steps (reference naming)
+    houv_lr: float = 0.1
+    retry_threshold: float = 0.030
+    angle_passes: int = 4
+
+    # parallel
+    n_devices: int | None = None
+
+    extras: dict = dataclasses.field(default_factory=dict)
+
+    _TUPLE_FIELDS = {
+        "betas": float,
+        "varying_constant": float,
+        "varying_constant_epochs": int,
+        "lr_step_decay_epochs": int,
+        "lr_step_decay_rates": float,
+        "layers": int,
+        "knn_list": int,
+    }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs: dict[str, Any] = {}
+        extras: dict[str, Any] = {}
+        for k, v in d.items():
+            if k in cls._TUPLE_FIELDS:
+                v = _parse_tuple(v, cls._TUPLE_FIELDS[k])
+            if k in fields and k != "extras":
+                kwargs[k] = v
+            else:
+                extras[k] = v
+        cfg = cls(**kwargs)
+        cfg.extras = extras
+        return cfg
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return Config.from_dict(raw)

@@ -1,0 +1,395 @@
+"""Train / eval harness.
+
+Replaces the reference's per-workload trainer scripts
+(completion/train.py:22-236, registration/train.py:28-189) with two
+trainers over the flax model zoo:
+
+- ``CompletionTrainer``: alpha-ramped CD/EMD training, val metrics
+  cd_p/cd_t/f1 with per-metric best checkpoints.
+- ``RegistrationTrainer``: loss-dict training (DCP/DeepGMR/IDAM), val
+  metrics RotE/transE/MSE/RMSE/recall(RMSE<0.1) tracked globally and in the
+  2x2 (rot_level × match_level) bucket grid.
+
+DataParallel is replaced by jit-with-shardings over a Mesh: params
+replicated, batch sharded on the 'data' axis — XLA inserts the psum that
+DataParallel's gradient reduction did by hand (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from houv_tpu.data.pipeline import batch_iterator
+from houv_tpu.models import get_model
+from houv_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from houv_tpu.train.config import Config
+from houv_tpu.train.schedules import alpha_schedule, lr_schedule
+from houv_tpu.utils.meters import AverageValueMeter, SplitMeterGrid
+
+logger = logging.getLogger("houv_tpu")
+
+
+def model_from_config(cfg: Config):
+    """Map reference config keys onto model constructor kwargs."""
+    name = cfg.model_name
+    if name == "pcn":
+        kw = dict(num_points=cfg.num_points, num_coarse=cfg.num_coarse,
+                  train_loss=cfg.loss, eval_emd=cfg.eval_emd)
+    elif name == "ecg":
+        kw = dict(num_points=cfg.num_points, num_coarse=cfg.num_coarse,
+                  num_input=cfg.num_points, train_loss=cfg.loss,
+                  eval_emd=cfg.eval_emd)
+    elif name == "vrcnet":
+        kw = dict(num_points=cfg.num_points, num_coarse_raw=cfg.num_coarse_raw,
+                  num_fps=cfg.num_fps, num_coarse=cfg.num_coarse,
+                  layers=tuple(cfg.layers), knn_list=tuple(cfg.knn_list),
+                  pk=cfg.pk, points_label=cfg.points_label,
+                  local_folding=cfg.local_folding,
+                  distribution_loss=cfg.distribution_loss,
+                  train_loss=cfg.loss, eval_emd=cfg.eval_emd)
+    elif name == "vrcnet_knn":
+        kw = dict(num_native=cfg.num_native, num_coarse=cfg.num_coarse,
+                  num_fine=cfg.num_fine, feature_size=cfg.feature_size,
+                  layers=tuple(cfg.layers), knn_list=tuple(cfg.knn_list),
+                  pk=cfg.pk)
+    elif name == "dcp":
+        kw = {}
+    elif name == "deepgmr":
+        kw = dict(use_rri=cfg.use_rri, rri_size=cfg.rri_size,
+                  num_groups=cfg.num_groups)
+    elif name == "idam":
+        kw = dict(descriptor_size=cfg.descriptor_size,
+                  num_iters=cfg.num_iters)
+    else:
+        kw = {}
+    return get_model(name, **kw)
+
+
+_MODEL_RNGS = {
+    "vrcnet": ("latent", "dropout"),
+    "vrcnet_knn": ("dropout",),
+    "idam": ("sampling",),
+}
+
+
+def _step_rngs(name: str, key, step: int):
+    names = _MODEL_RNGS.get(name, ())
+    if not names:
+        return {}
+    keys = jax.random.split(jax.random.fold_in(key, step), len(names))
+    return dict(zip(names, keys))
+
+
+def _make_optimizer(cfg: Config):
+    if cfg.optimizer.lower() not in ("adam", "adamw"):
+        raise NotImplementedError(cfg.optimizer)
+    if cfg.weight_decay:
+        base = functools.partial(optax.adamw, weight_decay=cfg.weight_decay)
+    else:
+        base = optax.adam
+    return optax.inject_hyperparams(base)(
+        learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[-1]
+    )
+
+
+@dataclasses.dataclass
+class _TrainerBase:
+    cfg: Config
+    mesh: object | None = None
+
+    def __post_init__(self):
+        self.model = model_from_config(self.cfg)
+        self.opt = _make_optimizer(self.cfg)
+        self.rng = jax.random.PRNGKey(self.cfg.manual_seed or 2021)
+        self.state = None
+        self.log_dir = os.path.join(
+            self.cfg.work_dir,
+            f"{self.cfg.model_name}_{self.cfg.loss}_{self.cfg.flag}",
+        )
+        self._train_step = None
+        self._shardings = None
+        if self.mesh is not None:
+            self._rep = NamedSharding(self.mesh, P())
+            self._dat = NamedSharding(self.mesh, P("data"))
+
+    # --- state management ---------------------------------------------
+
+    def init_state(self, sample_batch: dict):
+        init_rngs = {"params": self.rng}
+        for name in _MODEL_RNGS.get(self.cfg.model_name, ()):
+            init_rngs[name] = jax.random.fold_in(self.rng, hash(name) % 2**30)
+        variables = self.model.init(init_rngs, **self._init_args(sample_batch))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": self.opt.init(params),
+            "epoch": 0,
+        }
+        if self.cfg.load_model:
+            loaded = load_checkpoint(self.cfg.load_model, self.state)
+            self.state = loaded
+            logger.info("%s's previous weights loaded.", self.cfg.model_name)
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, self._rep)
+        return self.state
+
+    def _variables(self):
+        v = {"params": self.state["params"]}
+        if self.state["batch_stats"]:
+            v["batch_stats"] = self.state["batch_stats"]
+        return v
+
+    def _put(self, batch: dict):
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"}
+        if self.mesh is not None:
+            batch = {k: jax.device_put(v, self._dat) for k, v in batch.items()}
+        return batch
+
+    def save(self, name: str):
+        save_checkpoint(os.path.join(self.log_dir, name), self.state)
+
+    # --- jitted step ----------------------------------------------------
+
+    def _build_train_step(self):
+        model = self.model
+        opt = self.opt
+        has_bn = bool(jax.tree_util.tree_leaves(self.state["batch_stats"]))
+        loss_key = self._loss_key
+
+        def step(state, batch, alpha, lr, rngs):
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state["batch_stats"]
+                out = model.apply(
+                    variables,
+                    rngs=rngs or None,
+                    mutable=["batch_stats"] if has_bn else False,
+                    **self._apply_args(batch, alpha),
+                )
+                if has_bn:
+                    out, updates = out
+                else:
+                    updates = {}
+                return out[loss_key], (out, updates)
+
+            (loss, (out, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"])
+            opt_state = state["opt_state"]
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            upd, opt_state = opt.update(grads, opt_state, state["params"])
+            params = optax.apply_updates(state["params"], upd)
+            new_state = {
+                "params": params,
+                "batch_stats": updates.get("batch_stats",
+                                           state["batch_stats"]),
+                "opt_state": opt_state,
+                "epoch": state["epoch"],
+            }
+            return new_state, loss
+
+        return jax.jit(step)
+
+    def train_step(self, batch: dict, epoch: int, step: int):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        alpha = alpha_schedule(self.cfg, epoch)
+        lr = lr_schedule(self.cfg, epoch)
+        rngs = _step_rngs(self.cfg.model_name, self.rng, step)
+        self.state, loss = self._train_step(
+            self.state, self._put(batch), alpha, lr, rngs
+        )
+        return loss
+
+    # --- loops ------------------------------------------------------------
+
+    def fit(self, train_ds, val_ds=None):
+        cfg = self.cfg
+        if self.state is None:
+            first = next(batch_iterator(train_ds, cfg.batch_size, seed=0))
+            self.init_state(first)
+        train_meter = AverageValueMeter()
+        global_step = 0
+        for epoch in range(cfg.start_epoch, cfg.nepoch):
+            self.state["epoch"] = epoch
+            train_meter.reset()
+            t0 = time.time()
+            it = batch_iterator(
+                train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+                seed=(cfg.manual_seed or 2021) + epoch,
+            )
+            for batch in it:
+                loss = self.train_step(batch, epoch, global_step)
+                train_meter.update(float(loss))
+                if global_step % cfg.step_interval_to_print == 0:
+                    logger.info(
+                        "epoch %d step %d loss %.6f", epoch, global_step,
+                        float(loss),
+                    )
+                global_step += 1
+            logger.info(
+                "epoch %d done: mean loss %.6f (%.1fs)",
+                epoch, train_meter.avg, time.time() - t0,
+            )
+            if epoch % cfg.epoch_interval_to_save == 0:
+                self.save("network.ckpt")
+            if val_ds is not None and epoch % cfg.epoch_interval_to_val == 0:
+                self.validate(val_ds, epoch)
+        return self.state
+
+
+class CompletionTrainer(_TrainerBase):
+    """PCN / ECG / VRCNet / vrcnet_knn trainer (completion/train.py)."""
+
+    _loss_key = "total_loss"
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.best = {m: (0, float("inf")) for m in ("cd_p", "cd_t", "f1")}
+        self.best["f1"] = (0, -float("inf"))
+
+    def _init_args(self, batch):
+        args = dict(x=jnp.asarray(batch["partial"]),
+                    gt=jnp.asarray(batch["gt"]), prefix="train")
+        if self.cfg.model_name == "vrcnet_knn":
+            args.update(label=jnp.asarray(batch["label"]),
+                        coords=jnp.asarray(batch.get("coords"))
+                        if batch.get("coords") is not None else None)
+        else:
+            args["alpha"] = 0.5
+        return args
+
+    def _apply_args(self, batch, alpha):
+        if self.cfg.model_name == "vrcnet_knn":
+            return dict(x=batch["partial"], gt=batch["gt"],
+                        label=batch["label"], coords=batch.get("coords"),
+                        prefix="train")
+        return dict(x=batch["partial"], gt=batch["gt"], prefix="train",
+                    alpha=alpha)
+
+    def validate(self, val_ds, epoch: int = 0):
+        cfg = self.cfg
+        meters = {m: AverageValueMeter() for m in ("cd_p", "cd_t", "f1")}
+        variables = self._variables()
+
+        @jax.jit
+        def eval_step(batch, rngs):
+            if cfg.model_name == "vrcnet_knn":
+                return self.model.apply(
+                    variables, batch["partial"], batch["gt"],
+                    label=batch["label"], coords=batch.get("coords"),
+                    prefix="val", rngs=rngs or None,
+                )
+            return self.model.apply(
+                variables, batch["partial"], batch["gt"], prefix="val",
+                rngs=rngs or None,
+            )
+
+        n_batches = 0
+        for i, batch in enumerate(
+            batch_iterator(val_ds, cfg.batch_size, drop_last=True)
+        ):
+            rngs = _step_rngs(cfg.model_name, jax.random.PRNGKey(0), i)
+            out = eval_step(self._put(batch), rngs)
+            bs = len(batch["partial"])
+            for m in meters:
+                meters[m].update(float(jnp.mean(out[m])), bs)
+            n_batches += 1
+        for m, meter in meters.items():
+            better = (
+                meter.avg > self.best[m][1]
+                if m == "f1" else meter.avg < self.best[m][1]
+            )
+            if better and n_batches:
+                self.best[m] = (epoch, meter.avg)
+                self.save(f"best_{m}_network.ckpt")
+                logger.info("Best %s net saved!", m)
+        logger.info(
+            "val: " + "".join(f"curr_{m}: {v.avg:f}; " for m, v in meters.items())
+        )
+        return {m: v.avg for m, v in meters.items()}
+
+
+class RegistrationTrainer(_TrainerBase):
+    """DCP / DeepGMR / IDAM trainer (registration/train.py)."""
+
+    _loss_key = "loss"
+
+    def __post_init__(self):
+        super().__post_init__()
+        metrics = ("RotE", "transE", "MSE", "RMSE", "recall")
+        self.best = {m: (0, float("inf")) for m in metrics}
+        self.best["recall"] = (0, -float("inf"))
+
+    def _init_args(self, batch):
+        return dict(src=jnp.asarray(batch["src"]),
+                    tgt=jnp.asarray(batch["tgt"]),
+                    t_gt=jnp.asarray(batch["transform"]),
+                    prefix="train", train=True)
+
+    def _apply_args(self, batch, alpha):
+        return dict(src=batch["src"], tgt=batch["tgt"],
+                    t_gt=batch["transform"], prefix="train", train=True)
+
+    def validate(self, val_ds, epoch: int = 0, rmse_thresh: float = 0.1):
+        cfg = self.cfg
+        meters = {m: AverageValueMeter()
+                  for m in ("RotE", "transE", "MSE", "RMSE", "recall")}
+        grid = SplitMeterGrid()
+        variables = self._variables()
+
+        @jax.jit
+        def eval_step(batch):
+            return self.model.apply(
+                variables, batch["src"], batch["tgt"], batch["transform"],
+                prefix="val", train=False,
+            )
+
+        n_batches = 0
+        for batch in batch_iterator(val_ds, cfg.batch_size, drop_last=True):
+            ml = batch.pop("match_level", None)
+            rl = batch.pop("rot_level", None)
+            out = eval_step(self._put(batch))
+            bs = len(batch["src"])
+            vals = {
+                "RotE": np.asarray(out["r_err"]),
+                "transE": np.asarray(out["t_err"]),
+                "MSE": np.asarray(out["rt_mse"]),
+                "RMSE": np.asarray(out["rmse"]),
+                "recall": (np.asarray(out["rmse"]) < rmse_thresh).astype(
+                    np.float32
+                ),
+            }
+            for m, arr in vals.items():
+                meters[m].update(float(arr.mean()), bs)
+            if ml is not None and rl is not None:
+                grid.update(rl, ml, vals)
+            n_batches += 1
+        for m, meter in meters.items():
+            better = (
+                meter.avg > self.best[m][1]
+                if m == "recall" else meter.avg < self.best[m][1]
+            )
+            if better and n_batches:
+                self.best[m] = (epoch, meter.avg)
+                self.save(f"best_{m}_network.ckpt")
+                logger.info("Best %s net saved!", m)
+        logger.info(
+            "val: " + "".join(f"curr_{m}: {v.avg:f}; " for m, v in meters.items())
+        )
+        for line in grid.logs():
+            logger.info(line)
+        return {m: v.avg for m, v in meters.items()}
