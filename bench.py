@@ -38,13 +38,14 @@ def main():
     cfg = HOUVConfig(kernel=64, steps=500, angle_passes=1)
     key = jax.random.PRNGKey(2021)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: under the tunneled backend block_until_ready
+    # can return before execution completes — force a host read to sync.
     out = houv_solve(src, tgt, key, cfg)
-    jax.block_until_ready(out["transform"])
+    float(out["rmse"].sum())
 
     t0 = time.perf_counter()
-    out = houv_solve(src, tgt, key, cfg)
-    jax.block_until_ready(out["transform"])
+    out = houv_solve(src, tgt, jax.random.PRNGKey(1), cfg)
+    float(out["rmse"].sum())
     dt = time.perf_counter() - t0
 
     pairs_per_sec = n_pairs / dt

@@ -336,7 +336,12 @@ class MVPRegistrationDataset:
 @dataclasses.dataclass
 class MVPCompletionDataset:
     """MVP_CP (completion/dataset.py:12-61): 26 partials per complete model,
-    gt = complete[index // 26], train scale aug uniform in {0.8..1.2}."""
+    gt = complete[index // 26], train scale aug uniform in {0.8..1.2}.
+
+    with_voxels=True adds per-point voxel grid indices on the fixed
+    [-0.5, 0.5]³ 50³ grid — the MVP_CP_EX variant feeding the champion
+    model's sparse-conv branch (completion/dataset.py:64-142
+    ``point_to_voxel``)."""
 
     split: str
     path: str | None = None
@@ -344,6 +349,10 @@ class MVPCompletionDataset:
     views_per_model: int = 26
     scale_aug: bool = True
     index_range: tuple[int, int] | None = None
+    with_voxels: bool = False
+    grid_size: int = 50
+    min_volume: float = -0.5
+    max_volume: float = 0.5
 
     def __post_init__(self):
         if self.data is None:
@@ -364,12 +373,23 @@ class MVPCompletionDataset:
     def __len__(self):
         return len(self.partial)
 
+    def _voxel_coords(self, partial: np.ndarray) -> np.ndarray:
+        """Per-point grid indices, reference ``point_to_voxel`` semantics:
+        intervals = range/(G-1), floor((clip(x)-min)/interval)."""
+        interval = (self.max_volume - self.min_volume) / (self.grid_size - 1)
+        clipped = np.clip(partial, self.min_volume, self.max_volume)
+        idx = np.floor((clipped - self.min_volume) / interval).astype(np.int32)
+        return np.clip(idx, 0, self.grid_size - 1)
+
     def get_batch(self, indices, rng: np.random.Generator | None = None):
         indices = np.asarray(indices)
         partial = self.partial[indices].astype(np.float32)
         labels = self.labels[indices].astype(np.int32)
         if self.split == "test":
-            return {"partial": partial, "label": labels}
+            batch = {"partial": partial, "label": labels}
+            if self.with_voxels:
+                batch["coords"] = self._voxel_coords(partial)
+            return batch
         gt_idx = (indices + self.offset) // self.views_per_model
         gt = self.complete[gt_idx].astype(np.float32)
         if self.split == "train" and self.scale_aug:
@@ -378,4 +398,7 @@ class MVPCompletionDataset:
             alpha = rng.integers(8, 13, len(indices)) / 10.0
             partial = partial * alpha[:, None, None].astype(np.float32)
             gt = gt * alpha[:, None, None].astype(np.float32)
-        return {"partial": partial, "gt": gt, "label": labels}
+        batch = {"partial": partial, "gt": gt, "label": labels}
+        if self.with_voxels:
+            batch["coords"] = self._voxel_coords(partial)
+        return batch

@@ -31,6 +31,34 @@ def _safe_sqrt(d: Array) -> Array:
     return jnp.sqrt(jnp.maximum(d, 1e-12))
 
 
+def smallest_k_sqrt_mean_fast(d: Array, k: int, iters: int = 16) -> Array:
+    """Approximate mean of √(smallest k of d) along the last axis via a
+    bisected count threshold instead of top_k.
+
+    TPU rationale: lax.top_k with k = N/2 over (B·kernel, 2048) rows is a
+    full bitonic sort and dominates the HOUV step; `iters` cheap counting
+    passes find a threshold t with |{d <= t}| ≈ k, and a masked mean over
+    d <= t equals the truncated mean up to the few boundary ties. Gradients
+    flow through the selected elements exactly like top_k (the mask is
+    stop-gradient). Used only in the solver objective; exact top_k remains
+    the metric path (calc_cd_percent)."""
+    lo = jnp.min(d, axis=-1)
+    hi = jnp.max(d, axis=-1)
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        count = jnp.sum(d <= mid[..., None], axis=-1)
+        lo = jnp.where(count < k, mid, lo)
+        hi = jnp.where(count < k, hi, mid)
+        return lo, hi
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    mask = jax.lax.stop_gradient((d <= hi[..., None]).astype(d.dtype))
+    count = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    return jnp.sum(_safe_sqrt(d) * mask, axis=-1) / count
+
+
 def calc_cd(
     output: Array, gt: Array, calc_f1: bool = False, use_pallas: bool | None = None
 ):
@@ -53,6 +81,7 @@ def calc_cd_percent(
     gt: Array,
     percent: float = 1.0,
     use_pallas: bool | None = None,
+    fast: bool = False,
 ) -> tuple[Array, Array]:
     """Truncated one-sided CDs: keep only the smallest ``percent`` fraction of
     per-point distances on each side — the core of HOUV's partial-overlap
@@ -64,6 +93,12 @@ def calc_cd_percent(
     n = output.shape[-2]
     k = int(n * percent)
     d1, d2, _, _ = chamfer(gt, output, use_pallas)
+    if fast:
+        cd_p = (smallest_k_sqrt_mean_fast(d1, k)
+                if k < d1.shape[-1] else _safe_sqrt(d1).mean(axis=-1))
+        cd_t = (smallest_k_sqrt_mean_fast(d2, k)
+                if k < d2.shape[-1] else _safe_sqrt(d2).mean(axis=-1))
+        return cd_p, cd_t
     if k < d1.shape[-1]:
         d1 = _smallest_k(d1, k)
     if k < d2.shape[-1]:

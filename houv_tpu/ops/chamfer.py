@@ -8,18 +8,24 @@ with d1[b,i] = min_j ||a[b,i]-b[b,j]||² (squared!), i1 the argmin, and the
 gradient flowing only through the matched pairs.
 
 Design (see /opt/skills/guides/pallas_guide.md):
-- Forward is the O(N·M) part: a Pallas kernel tiles the query cloud into
-  TILE-point blocks (the CUDA kernel streams 512-point shared-memory tiles;
-  here the whole reference cloud sits in VMEM as a (3, M) coordinate-major
-  tile and the (TILE, M) distance block never leaves VMEM).
-- Distances are computed per-coordinate on the VPU:
-  (ax-bx)² + (ay-by)² + (az-bz)² with ax:(TILE,1) against bx:(1,M) —
-  avoiding a K=3 matmul that would waste the MXU's 128-wide contraction.
-- Backward is O(N) gathers/scatter-adds in plain jnp (custom VJP), exactly
-  the semantics of ``NmDistanceGradKernel``: both clouds receive gradient
-  from both directions.
-- A pure-jnp forward (``chamfer_reference``) is the golden model (mirrors
-  utils/metrics/CD/chamfer_python.py) and the non-TPU path.
+
+- The O(N·M) part is **argmin only**. A Pallas kernel computes nearest
+  indices from MXU matmul scores: argmin_j ||a_i-b_j||² = argmax_j
+  (2·a_i·b_j - |b_j|²) — the |a_i|² term is constant per row. The
+  (TILE, M) score block lives in VMEM; the (TILE, 3→8) × (8, M) matmul
+  rides the systolic array (the CUDA kernel instead streams 512-point
+  shared-memory tiles through the SMs and recomputes full distances).
+- Distances are then **recomputed exactly** from the selected pairs with a
+  differentiable gather: d1 = ||a - b[i1]||². Autodiff through the gather
+  reproduces NmDistanceGradKernel's semantics exactly (direct term to the
+  query cloud, scatter-add to the matched cloud), so no custom VJP is
+  needed — and the O(N·M) score computation never enters the backward pass.
+- Scores default to bf16 (2× MXU throughput); near-exact ties may pick a
+  different-but-equidistant neighbor, which leaves losses unchanged at
+  float precision. ``exact_scores=True`` forces f32 scoring.
+- ``chamfer_reference`` (dense jnp) is the golden model (mirrors
+  utils/metrics/CD/chamfer_python.py) and the non-TPU fallback;
+  ``_nn_one_way_pallas`` is an exact VPU kernel kept for validation.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ Array = jax.Array
 
 _LANE = 128
 _DEFAULT_TILE = 512
+_BATCH_BLOCK = 8  # sublane granularity for the (B, N) outputs
 _PAD_SENTINEL = 1e9  # padded reference points sit far away; (2e9)² < f32 max
 
 
@@ -62,19 +69,16 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
     return d1, d2, i1, i2
 
 
-_BATCH_BLOCK = 8  # sublane granularity for the (B, N) outputs
-
+# ---------------------------------------------------------------------------
+# Exact VPU kernel (distances + indices) — used for validation / eval paths
+# ---------------------------------------------------------------------------
 
 def _nn_kernel(a_ref, bt_ref, d_ref, idx_ref, *, m_valid: int):
     """A (BATCH_BLOCK, TILE)-query block vs each row's full reference cloud.
 
     a_ref: (BB, TILE, 3) queries; bt_ref: (BB, 3, Mp) coordinate-major refs;
     d_ref/idx_ref: (BB, TILE) min squared distance and argmin index.
-    The batch rows are processed in a loop so only one (TILE, Mp) distance
-    block is live in VMEM at a time (mirrors the CUDA kernel's 512-point
-    shared-memory streaming, but per-row-in-VMEM instead).
     """
-
     for b in range(_BATCH_BLOCK):  # static unroll: Mosaic reuses the buffers
         a = a_ref[b]          # (TILE, 3)
         bt = bt_ref[b]        # (3, Mp)
@@ -94,12 +98,11 @@ def _nn_kernel(a_ref, bt_ref, d_ref, idx_ref, *, m_valid: int):
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def _nn_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
                        interpret: bool = False) -> tuple[Array, Array]:
-    """For each point of a (B,N,3): min squared distance + index into b (B,M,3)."""
+    """Exact per-point (min squared distance, argmin index) of a vs b."""
     bsz, n, _ = a.shape
     m = b.shape[1]
     bb = _BATCH_BLOCK
     bp = _round_up(bsz, bb)
-    # Output blocks are (bb, tile): tile must be lane-aligned (multiple of 128).
     tile = min(tile, _round_up(n, _LANE))
     np_ = _round_up(n, tile)
     mp = _round_up(m, _LANE)
@@ -107,7 +110,6 @@ def _nn_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
     a_pad = jnp.pad(
         a.astype(jnp.float32), ((0, bp - bsz), (0, np_ - n), (0, 0))
     )
-    # Coordinate-major (B, 3, Mp) so each coordinate is lane-contiguous.
     bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
     bt = jnp.pad(
         bt,
@@ -140,56 +142,186 @@ def _nn_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
     return d[:bsz, :n], idx[:bsz, :n]
 
 
+# ---------------------------------------------------------------------------
+# MXU argmin kernel (indices only) — the hot path
+# ---------------------------------------------------------------------------
+
+def _argmin_kernel(a_ref, bt_ref, b2_ref, idx_ref, max_ref, *, exact: bool):
+    """Per batch row: idx[b, i] = argmax_j score, max[b, i] = max_j score,
+    with score = 2·a_i·b_j - |b_j|² (so min dist = |a_i|² - max score).
+
+    a_ref: (BB, TILE, 8) zero-padded query coords; bt_ref: (BB, 8, Mp)
+    coordinate-major refs; b2_ref: (BB, 8, Mp) with |b|² broadcast along
+    sublanes; idx_ref/max_ref: (BB, TILE).
+    """
+    dtype = jnp.float32 if exact else jnp.bfloat16
+    for b in range(_BATCH_BLOCK):
+        a = a_ref[b].astype(dtype)           # (TILE, 8)
+        bt = bt_ref[b].astype(dtype)         # (8, Mp)
+        score = 2.0 * jnp.dot(
+            a, bt, preferred_element_type=jnp.float32
+        ) - b2_ref[b, 0:1, :]                # (TILE, Mp) on the MXU
+        idx_ref[b, :] = jnp.argmax(score, axis=1).astype(jnp.int32)
+        max_ref[b, :] = jnp.max(score, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "exact")
+)
+def _argmin_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
+                           interpret: bool = False,
+                           exact: bool = False) -> tuple[Array, Array]:
+    """Nearest-b (index, max-score) per a point:
+    (B, N, 3) × (B, M, 3) -> (idx (B, N) int32, max_score (B, N) f32)."""
+    bsz, n, _ = a.shape
+    m = b.shape[1]
+    bb = _BATCH_BLOCK
+    bp = _round_up(bsz, bb)
+    tile = min(tile, _round_up(n, _LANE))
+    np_ = _round_up(n, tile)
+    mp = _round_up(m, _LANE)
+
+    a_pad = jnp.pad(
+        a.astype(jnp.float32),
+        ((0, bp - bsz), (0, np_ - n), (0, 8 - a.shape[-1])),
+    )
+    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)  # (B, 3, M)
+    bt = jnp.pad(
+        bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m))
+    )
+    # |b|² with padded columns pushed to +inf scores' complement: padded
+    # b columns are all-zero in bt, so give them a huge |b|² instead.
+    b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)  # (B, M)
+    b2 = jnp.pad(b2, ((0, bp - bsz), (0, mp - m)),
+                 constant_values=jnp.float32(4e18))
+    b2 = jnp.broadcast_to(b2[:, None, :], (bp, 8, mp))
+
+    grid = (bp // bb, np_ // tile)
+    idx, mx = pl.pallas_call(
+        functools.partial(_argmin_kernel, exact=exact),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
+            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_pad, bt, b2)
+    return idx[:bsz, :n], mx[:bsz, :n]
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _chamfer_fwd_impl(a: Array, b: Array, use_pallas: bool | None,
-                      interpret: bool) -> tuple[Array, Array, Array, Array]:
-    if use_pallas is None:
-        use_pallas = _use_pallas()
-    if use_pallas or interpret:
-        d1, i1 = _nn_one_way_pallas(a, b, interpret=interpret)
-        d2, i2 = _nn_one_way_pallas(b, a, interpret=interpret)
-        return d1, d2, i1, i2
-    return chamfer_reference(a, b)
+def _gather_sqdist(a: Array, b: Array, idx: Array) -> Array:
+    """d[b, i] = ||a[b,i] - b[b, idx[b,i]]||², differentiable in a and b."""
+    nb = jnp.take_along_axis(b, idx[..., None], axis=1)
+    diff = a - nb
+    return jnp.sum(diff * diff, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def chamfer(a: Array, b: Array, use_pallas: bool | None = None,
-            interpret: bool = False) -> tuple[Array, Array, Array, Array]:
-    """Bidirectional squared chamfer: (B,N,3),(B,M,3) -> (d1, d2, i1, i2).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _nn_gather(a: Array, b: Array, use_pallas: bool, interpret: bool,
+               exact: bool):
+    """One-way nearest neighbor: (d (B, N), idx (B, N)) of a vs b.
 
-    d1: (B, N) squared distance of each a-point to its nearest b-point,
-    i1: (B, N) index of that b-point; d2/i2 symmetric. Gradients flow to both
-    clouds through the matched pairs only (matching NmDistanceGradKernel,
-    reference chamfer3D.cu:155-186).
+    Custom VJP so the b-side gradient (a segment-sum over matched pairs)
+    lowers to the MXU scatter kernel instead of XLA's serialized scatter.
+    With exact f32 scores the forward distance comes straight from the
+    kernel's max score (d = |a|² - max, no gather); the gather for the
+    matched difference happens once, in the backward pass.
     """
-    return _chamfer_fwd_impl(a, b, use_pallas, interpret)
+    d, idx, _ = _nn_forward(a, b, use_pallas, interpret, exact)
+    return d, idx
 
 
-def _chamfer_fwd(a, b, use_pallas, interpret):
-    out = _chamfer_fwd_impl(a, b, use_pallas, interpret)
-    d1, d2, i1, i2 = out
-    return out, (a, b, i1, i2)
+def _nn_forward(a, b, use_pallas, interpret, exact):
+    sa = jax.lax.stop_gradient(a)
+    sb = jax.lax.stop_gradient(b)
+    if use_pallas or interpret:
+        idx, mx = _argmin_one_way_pallas(sa, sb, interpret=interpret,
+                                         exact=exact)
+        if exact:
+            d = jnp.maximum(jnp.sum(sa * sa, axis=-1) - mx, 0.0)
+            return d, idx, None
+        nb = jnp.take_along_axis(sb, idx[..., None], axis=1)
+        diff = sa - nb
+        return jnp.sum(diff * diff, axis=-1), idx, diff
+    dist = pairwise_sqdist(sa, sb)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    return jnp.min(dist, axis=-1), idx, None
 
 
-def _scatter_add(shape_like: Array, idx: Array, upd: Array) -> Array:
-    return jax.vmap(lambda acc, i, u: acc.at[i].add(u))(
-        jnp.zeros_like(shape_like), idx, upd
-    )
+def _nn_gather_fwd(a, b, use_pallas, interpret, exact):
+    d, idx, diff = _nn_forward(a, b, use_pallas, interpret, exact)
+    if diff is None:
+        res = (a, b, idx, None)
+    else:
+        res = (None, None, idx, diff)  # diff already gathered in fwd
+    return (d, idx), (res, b.shape[1])
 
 
-def _chamfer_bwd(use_pallas, interpret, res, g):
-    a, b, i1, i2 = res
-    g1, g2, _, _ = g  # cotangents of integer outputs are float0 — ignored
-    b_at_i1 = jnp.take_along_axis(b, i1[..., None], axis=1)   # (B, N, 3)
-    a_at_i2 = jnp.take_along_axis(a, i2[..., None], axis=1)   # (B, M, 3)
-    ga_direct = 2.0 * g1[..., None] * (a - b_at_i1)
-    gb_direct = 2.0 * g2[..., None] * (b - a_at_i2)
-    ga = ga_direct + _scatter_add(a, i2, -gb_direct)
-    gb = gb_direct + _scatter_add(b, i1, -ga_direct)
+def _nn_gather_bwd(use_pallas, interpret, exact, residuals, g):
+    from houv_tpu.ops.scatter import scatter_add_matmul
+
+    (a, b, idx, diff), m = residuals
+    g_d, _ = g  # idx cotangent is float0
+    if diff is None:
+        # (measured: XLA's native row gather beats the one-hot-matmul kernel
+        # for the 3-channel diff; gather_rows_matmul remains available for
+        # wider-channel gathers)
+        nb = jnp.take_along_axis(b, idx[..., None], axis=1)
+        diff = a - nb
+    ga = 2.0 * g_d[..., None] * diff
+    if use_pallas or interpret:
+        gb = scatter_add_matmul(idx, -ga, m, interpret=interpret)
+    else:
+        gb = jax.vmap(lambda z, i, u: z.at[i].add(u))(
+            jnp.zeros((idx.shape[0], m, diff.shape[-1]), diff.dtype), idx, -ga
+        )
     return ga, gb
 
 
-chamfer.defvjp(_chamfer_fwd, _chamfer_bwd)
+_nn_gather.defvjp(_nn_gather_fwd, _nn_gather_bwd)
+
+
+def chamfer(
+    a: Array,
+    b: Array,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    exact_scores: bool = True,
+) -> tuple[Array, Array, Array, Array]:
+    """Bidirectional squared chamfer: (B,N,3),(B,M,3) -> (d1, d2, i1, i2).
+
+    d1: (B, N) squared distance of each a-point to its nearest b-point,
+    i1: (B, N) index of that b-point; d2/i2 symmetric. Distances are exact
+    (recomputed from the matched pairs); gradients flow to both clouds
+    through the matched pairs only, matching NmDistanceGradKernel
+    (reference chamfer3D.cu:155-186).
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    d1, i1 = _nn_gather(a32, b32, bool(use_pallas), interpret, exact_scores)
+    d2, i2 = _nn_gather(b32, a32, bool(use_pallas), interpret, exact_scores)
+    return d1, d2, i1, i2

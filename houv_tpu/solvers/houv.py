@@ -67,6 +67,7 @@ class HOUVConfig:
     retry_threshold: float = 0.030  # train_utils.py:493
     angle_passes: int = 4     # angle_base 0..3 (train_utils.py:501)
     use_pallas: bool | None = None  # chamfer dispatch (None = auto by backend)
+    fast_trim: bool = True    # bisected truncated mean instead of top_k
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
@@ -131,7 +132,9 @@ def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
     tgt_r = jnp.broadcast_to(tgt[:, None], (bsz, kernel) + tgt.shape[1:]).reshape(
         bsz * kernel, -1, 3
     )
-    cd_p, cd_t = calc_cd_percent(src_t, tgt_r, cfg.percent, cfg.use_pallas)
+    cd_p, cd_t = calc_cd_percent(
+        src_t, tgt_r, cfg.percent, cfg.use_pallas, fast=cfg.fast_trim
+    )
     min_1 = jnp.minimum(cd_p, cd_t)  # (B·K,)
     loss = cfg.loss_weight * min_1
     if cfg.use_view_loss:

@@ -47,6 +47,7 @@ def build_dataset(cfg: Config, split: str, index_range=None):
         return MVPCompletionDataset(
             split, path=cfg.data_path, scale_aug=cfg.scale_aug,
             index_range=index_range,
+            with_voxels=(cfg.model_name == "vrcnet_knn"),
         )
     # Synthetic fallback (the large MVP .h5 files are not distributed).
     n = 64 if split != "train" else 128
@@ -66,6 +67,7 @@ def build_dataset(cfg: Config, split: str, index_range=None):
     return MVPCompletionDataset(
         split, data=data, views_per_model=8, scale_aug=cfg.scale_aug,
         index_range=index_range,
+        with_voxels=(cfg.model_name == "vrcnet_knn"),
     )
 
 
@@ -145,6 +147,8 @@ def test_main(argv=None):
                 kwargs = dict(prefix="test")
                 if cfg.model_name == "vrcnet_knn":
                     kwargs.update(label=jnp.asarray(batch["label"]))
+                    if "coords" in batch:
+                        kwargs.update(coords=jnp.asarray(batch["coords"]))
                 from houv_tpu.train.harness import _step_rngs
 
                 out = trainer.model.apply(

@@ -40,16 +40,42 @@ def test_pallas_interpret_matches_reference(rng, n, m):
     a = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32))
     b = jnp.asarray(rng.standard_normal((2, m, 3)).astype(np.float32))
     rd1, rd2, ri1, ri2 = chamfer_reference(a, b)
-    pd1, pd2, pi1, pi2 = chamfer(a, b, use_pallas=True, interpret=True)
-    # The Pallas per-coordinate formula is more accurate than a²+b²-2ab;
-    # allow float-formulation noise, and index differences only on near-ties.
+    pd1, pd2, pi1, pi2 = chamfer(
+        a, b, use_pallas=True, interpret=True, exact_scores=True
+    )
+    # Different float formulations; allow noise, and index differences only
+    # on near-ties (where both choices give the same distance).
     np.testing.assert_allclose(np.asarray(pd1), np.asarray(rd1), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pd2), np.asarray(rd2), rtol=1e-3, atol=1e-5)
     for pi, ri, pd, rd in ((pi1, ri1, pd1, rd1), (pi2, ri2, pd2, rd2)):
         mismatch = np.asarray(pi) != np.asarray(ri)
         if mismatch.any():
-            # Where indices differ the distances must be (near-)tied.
             assert np.abs(np.asarray(pd) - np.asarray(rd))[mismatch].max() < 1e-5
+
+
+@pytest.mark.parametrize("n,m", [(256, 256)])
+def test_pallas_bf16_scores_near_exact(rng, n, m):
+    """The default bf16 MXU scoring may flip argmin on near-ties only:
+    selected distances must stay within bf16 noise of the true minimum."""
+    a = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, m, 3)).astype(np.float32))
+    rd1, rd2, _, _ = chamfer_reference(a, b)
+    pd1, pd2, _, _ = chamfer(
+        a, b, use_pallas=True, interpret=True, exact_scores=False
+    )
+    assert float(jnp.abs(pd1 - rd1).max()) < 5e-2
+    assert float(jnp.mean(jnp.abs(pd1 - rd1))) < 2e-3
+
+
+def test_fast_truncated_mean_matches_topk(rng):
+    from houv_tpu.metrics.cd import _safe_sqrt, _smallest_k, smallest_k_sqrt_mean_fast
+
+    d = jnp.asarray(rng.uniform(0, 2, (16, 2048)).astype(np.float32))
+    k = 1024
+    exact = _safe_sqrt(_smallest_k(d, k)).mean(axis=-1)
+    fast = smallest_k_sqrt_mean_fast(d, k)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-3, atol=1e-4)
 
 
 def test_gradient_matches_autodiff(rng):
