@@ -1,6 +1,7 @@
 from houv_tpu.data.mvp import (
     MVPRegistrationDataset,
     MVPCompletionDataset,
+    ModelNetDataset,
     load_h5,
     random_pose_np,
     synthesize_registration_pairs,
@@ -13,6 +14,7 @@ from houv_tpu.data.pipeline import batch_iterator, shard_ranges
 __all__ = [
     "MVPRegistrationDataset",
     "MVPCompletionDataset",
+    "ModelNetDataset",
     "load_h5",
     "random_pose_np",
     "synthesize_registration_pairs",

@@ -334,6 +334,51 @@ class MVPRegistrationDataset:
 
 
 @dataclasses.dataclass
+class ModelNetDataset:
+    """ModelNet registration variants (reference registration/dataset.py:
+    154-187 ModelNet and :642-678 Modelnet_RG_rotated_bound): 1024-point
+    clouds from modelnet_{clean,noisy,unseen}/icl_nuim h5 files; pairs are
+    (cloud, cloud moved by a random pose), optionally jittered."""
+
+    split: str
+    variant: str = "clean"  # clean | noisy | unseen | icl_nuim
+    path: str | None = None
+    data: dict | None = None
+    max_angle_deg: float = 45.0
+    max_trans: float = 0.5
+    index_range: tuple[int, int] | None = None
+
+    def __post_init__(self):
+        if self.data is None:
+            if self.path is None:
+                raise ValueError("need path or data")
+            self.data = load_h5(self.path)
+        pts = self.data.get("points", self.data.get("source"))
+        self.points = np.asarray(pts, np.float32)
+        if self.index_range is not None:
+            l, r = self.index_range
+            self.points = self.points[l:r]
+
+    def __len__(self):
+        return len(self.points)
+
+    def get_batch(self, indices, rng: np.random.Generator | None = None):
+        rng = rng or np.random.default_rng()
+        src = self.points[np.asarray(indices)].copy()
+        max_angle = np.radians(self.max_angle_deg)
+        tgt = np.empty_like(src)
+        transforms = np.empty((len(src), 4, 4), np.float32)
+        for i in range(len(src)):
+            t = random_pose_np(rng, max_angle, self.max_trans)
+            tgt[i] = src[i] @ t[:3, :3].T + t[:3, 3]
+            transforms[i] = t
+        if self.variant == "noisy":
+            src = jitter_pcd(rng, src).astype(np.float32)
+            tgt = jitter_pcd(rng, tgt).astype(np.float32)
+        return {"src": src, "tgt": tgt, "transform": transforms}
+
+
+@dataclasses.dataclass
 class MVPCompletionDataset:
     """MVP_CP (completion/dataset.py:12-61): 26 partials per complete model,
     gt = complete[index // 26], train scale aug uniform in {0.8..1.2}.

@@ -23,6 +23,18 @@ from houv_tpu.models.voxelnet import Asymm3DSpconv
 from houv_tpu.models.dcp import DCP, DGCNN, Pointer
 from houv_tpu.models.deepgmr import DeepGMR, GMRBackbone, get_rri
 from houv_tpu.models.idam import IDAM, GNN
+from houv_tpu.models.alignment import (
+    AlignmentClassifier,
+    VoxAsym,
+    alignment_bce_loss,
+    make_aligned_pairs,
+)
+from houv_tpu.models.embedding import (
+    InstanceEmbedding,
+    TransformerRegressor,
+    PCNTransformer,
+    triplet_loss,
+)
 
 _REGISTRY = {
     # completion (reference completion/models/*.py)
@@ -34,6 +46,11 @@ _REGISTRY = {
     "dcp": DCP,
     "deepgmr": DeepGMR,
     "idam": IDAM,
+    # experimental / preprocessing models
+    "alignment_spconv": AlignmentClassifier,   # registration/models/spconv.py
+    "voxel_asym": VoxAsym,                     # completion cfgs/spconv.yaml
+    "transformer": TransformerRegressor,       # completion/models/transformer.py
+    "model_embedding": InstanceEmbedding,      # completion/models/model_embedding.py
 }
 
 
@@ -55,4 +72,7 @@ __all__ = [
     "DenseConv", "SAModule", "SKSAModule", "SKNResUnit", "SASKNResEncoder",
     "MSAPSKNDecoder", "Folding", "LinearResBlock", "KNNDecoder",
     "Asymm3DSpconv", "DGCNN", "Pointer", "GMRBackbone", "get_rri", "GNN",
+    "AlignmentClassifier", "VoxAsym", "alignment_bce_loss",
+    "make_aligned_pairs", "InstanceEmbedding", "TransformerRegressor",
+    "PCNTransformer", "triplet_loss",
 ]

@@ -1,0 +1,116 @@
+"""Instance-embedding nets + transformer point regressor (flax).
+
+Covers the reference's preprocessing/experiment models:
+- completion/models/model_embedding.py (Resnet18-style 1D conv embedding +
+  classifier, Embedding_Transformer) and embedding_pcn.py — instance
+  classification embeddings used by the MVPN clustering
+  (completion/preprocess.py:381-469 solve2_embedding),
+- completion/models/transformer.py — the attention up/down encoder-decoder
+  point regressor experiment,
+- registration/models/pcn.py PCN_Transformer (:31-52).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from houv_tpu.models.common import MultiHeadAttention, PointMLP, max_pool_points
+from houv_tpu.ops.sampling import furthest_point_sample
+
+Array = jax.Array
+
+
+class InstanceEmbedding(nn.Module):
+    """PointNet trunk -> L2-normalized embedding + class logits
+    (the role of Resnet18/Embedding_Transformer in model_embedding.py:
+    a per-cloud descriptor whose distances drive the kNN clustering)."""
+
+    embedding_size: int = 32
+    nclasses: int = 16
+    use_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array):
+        h = PointMLP((64, 128, 256), relu_last=True)(x)
+        if self.use_attention:  # Embedding_Transformer variant
+            h = h + MultiHeadAttention(8, 256)(h, h, h)
+        g = max_pool_points(h)  # (B, 256)
+        g = nn.relu(nn.Dense(256)(g))
+        emb = nn.Dense(self.embedding_size)(g)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
+        )
+        logits = nn.Dense(self.nclasses)(nn.relu(nn.Dense(512)(g)))
+        return emb, logits
+
+
+def triplet_loss(anchor: Array, positive: Array, negative: Array,
+                 margin: float = 0.2) -> Array:
+    """Margin triplet loss over embeddings (MVP_CP_choose_triple training,
+    completion/dataset.py:313-428)."""
+    d_pos = jnp.sum((anchor - positive) ** 2, axis=-1)
+    d_neg = jnp.sum((anchor - negative) ** 2, axis=-1)
+    return jnp.maximum(d_pos - d_neg + margin, 0.0).mean()
+
+
+class TransformerRegressor(nn.Module):
+    """Attention encoder-decoder point regressor
+    (completion/models/transformer.py): FPS down to latent points, self +
+    cross attention, upsample by folding duplication, regress coordinates."""
+
+    num_latent: int = 256
+    num_out: int = 2048
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, n, _ = x.shape
+        feats = PointMLP((64, self.d_model), relu_last=True)(x)
+        idx = furthest_point_sample(x, self.num_latent)
+        latent = jnp.take_along_axis(feats, idx[..., None], axis=1)
+        for _ in range(self.n_layers):
+            h = nn.LayerNorm()(latent)
+            latent = latent + MultiHeadAttention(self.n_heads, self.d_model)(
+                h, h, h
+            )
+            h = nn.LayerNorm()(latent)
+            latent = latent + MultiHeadAttention(self.n_heads, self.d_model)(
+                h, feats, feats
+            )
+            h = nn.LayerNorm()(latent)
+            latent = latent + nn.Dense(self.d_model)(
+                nn.relu(nn.Dense(self.d_model * 2)(h))
+            )
+        ratio = -(-self.num_out // self.num_latent)
+        up = jnp.repeat(latent, ratio, axis=1)[:, : self.num_out]
+        grid = jnp.tile(
+            jnp.linspace(-0.05, 0.05, ratio)[None, :, None],
+            (b, self.num_latent, 1),
+        )[:, : self.num_out]
+        h = jnp.concatenate([up, grid], axis=-1)
+        return nn.Dense(3)(nn.relu(nn.Dense(128)(h)))
+
+
+class PCNTransformer(nn.Module):
+    """PCN encoder + attention refinement head
+    (registration/models/pcn.py PCN_Transformer :31-52)."""
+
+    output_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(nn.Dense(128)(x))
+        h = nn.Dense(256)(h)
+        g = max_pool_points(h)
+        h = jnp.concatenate(
+            [h, jnp.broadcast_to(g[:, None], h.shape[:2] + (g.shape[-1],))],
+            axis=-1,
+        )
+        h = nn.relu(nn.Dense(512)(h))
+        h = h + MultiHeadAttention(4, 512)(h, h, h)
+        h = nn.Dense(self.output_size)(h)
+        return max_pool_points(h)

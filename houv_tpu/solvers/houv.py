@@ -40,6 +40,7 @@ import optax
 
 from houv_tpu.geometry.rotations import (
     rodrigues,
+    rotation_xyz,
     normalize_translation,
     rt_to_transformation,
     rotation_error,
@@ -68,11 +69,18 @@ class HOUVConfig:
     angle_passes: int = 4     # angle_base 0..3 (train_utils.py:501)
     use_pallas: bool | None = None  # chamfer dispatch (None = auto by backend)
     fast_trim: bool = True    # bisected truncated mean instead of top_k
+    # Ablation family (the reference's getPredict variants / cd_keba module,
+    # train_utils.py:150-338, models/simple_icp.py:16-61; histogram-compared
+    # in visu_utils.analyseDises):
+    reparam: str = "sine"     # 'sine' | 'sigmoid' | 'unconstrained'
+    rotation_mode: str = "axis_angle"  # 'axis_angle' | 'euler' (rotation_v2)
+    voxel_downsample: int | None = None  # getPredict_cd_vox-style input reduction
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
     """Unconstrained parameters for (batch, kernel) optimization replicas."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    angle_xyz = jax.random.normal(k5, (batch, kernel, 3), jnp.float32)
     v_c = jax.random.normal(k1, (batch, kernel, 3), jnp.float32)
     if lattice_init:
         lattice = jnp.array(
@@ -92,23 +100,45 @@ def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
         "angle_c": jax.random.normal(k2, (batch, kernel, 1), jnp.float32),
         "tran_c": jax.random.normal(k3, (batch, kernel, 3), jnp.float32),
         "tran_s": jax.random.normal(k4, (batch, kernel, 1), jnp.float32),
+        "angle_xyz": angle_xyz,
     }
 
 
-def reparametrize(params, angle_base: Array | int, tran_mode: str = "mvp"):
-    """Unconstrained params -> (R, T) through the sine windows."""
-    angle = (
-        jnp.sin(params["angle_c"] * _PI) * (_PI / 8)
-        + _PI / 8
-        + angle_base * (_PI / 4)
-    )  # (B, K, 1) in [base·45°, base·45° + 45°]
-    if tran_mode == "mvp":
-        tran_s = jnp.sin(params["tran_s"] * _PI)  # scale 1
-    elif tran_mode == "bounded":
-        tran_s = jnp.sin(params["tran_s"] * _PI) * 0.125 + 0.125
+def reparametrize(params, angle_base: Array | int, tran_mode: str = "mvp",
+                  reparam: str = "sine", rotation_mode: str = "axis_angle"):
+    """Unconstrained params -> (R, T).
+
+    reparam: 'sine' — the champion's quadrant-sliced sine windows
+    (train_utils.py:404-405); 'sigmoid' — the cd_keba ablation
+    (simple_icp.py:55-58: angle = sigmoid·2π, tran_s = tanh·0.25);
+    'unconstrained' — raw angle (getPredict, train_utils.py:150-180).
+    rotation_mode 'euler' uses the Rx·Ry·Rz ablation (rotation_v2,
+    train_utils.py:132-142) driven by the angle_xyz parameters."""
+    if reparam == "sine":
+        angle = (
+            jnp.sin(params["angle_c"] * _PI) * (_PI / 8)
+            + _PI / 8
+            + angle_base * (_PI / 4)
+        )  # (B, K, 1) in [base·45°, base·45° + 45°]
+        if tran_mode == "mvp":
+            tran_s = jnp.sin(params["tran_s"] * _PI)  # scale 1
+        elif tran_mode == "bounded":
+            tran_s = jnp.sin(params["tran_s"] * _PI) * 0.125 + 0.125
+        else:
+            raise ValueError(f"unknown tran_mode {tran_mode!r}")
+    elif reparam == "sigmoid":
+        angle = jax.nn.sigmoid(params["angle_c"]) * 2 * _PI
+        tran_s = jnp.tanh(params["tran_s"]) * 0.25
+    elif reparam == "unconstrained":
+        angle = params["angle_c"]
+        tran_s = params["tran_s"]
     else:
-        raise ValueError(f"unknown tran_mode {tran_mode!r}")
-    r = rodrigues(angle[..., 0], params["v_c"])          # (B, K, 3, 3)
+        raise ValueError(f"unknown reparam {reparam!r}")
+
+    if rotation_mode == "euler":
+        r = rotation_xyz(params["angle_xyz"])            # (B, K, 3, 3)
+    else:
+        r = rodrigues(angle[..., 0], params["v_c"])      # (B, K, 3, 3)
     t = normalize_translation(params["tran_c"], tran_s)  # (B, K, 3)
     return r, t
 
@@ -125,7 +155,8 @@ def _apply(src: Array, r: Array, t: Array) -> Array:
 
 def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
     """Mean loss over all (pair, restart) replicas + per-replica min_1."""
-    r, t = reparametrize(params, angle_base, cfg.tran_mode)
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode)
     bsz, kernel = r.shape[:2]
     n = src.shape[1]
     src_t = _apply(src, r, t).reshape(bsz * kernel, n, 3)
@@ -169,7 +200,8 @@ def houv_pass(
         0, cfg.steps, body, (params0, opt.init(params0))
     )
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
-    r, t = reparametrize(params, angle_base, cfg.tran_mode)
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode)
     return min_1, r, t
 
 
@@ -188,6 +220,28 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     pair needs it) and merged with ``jnp.where`` — same results, no host
     round-trips, and shard_map-compatible.
     """
+    if cfg.voxel_downsample:
+        # getPredict_cd_vox-style input reduction (train_utils.py:762-863):
+        # voxel-mean the clouds before optimizing. Empty-voxel rows are
+        # zero-padded; they sit far from both clouds only if the data is
+        # centered, so we fall back to repeating the first rows instead.
+        from houv_tpu.ops.voxel import voxelize_mean
+
+        def reduce(cloud):
+            vp, cnt = voxelize_mean(
+                cloud,
+                grid_size=cfg.voxel_downsample,
+                min_bound=float(-1.0),
+                max_bound=float(1.0),
+            )
+            n = vp.shape[1]
+            rows = jnp.arange(n)[None, :]
+            src_rows = rows % jnp.maximum(cnt[:, None], 1)
+            return jnp.take_along_axis(vp, src_rows[..., None], axis=1)
+
+        src = reduce(src)
+        tgt = reduce(tgt)
+
     params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
 
     min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
@@ -228,6 +282,16 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
         "rmse": best,
         "n_retry": n_retry,
     }
+
+
+def combine(src: Array, tgt: Array, n_points: int = 2048) -> Array:
+    """FPS-merge two clouds back to n_points (reference ``combine``,
+    train_utils.py:459-464: concat then furthest_point_sample)."""
+    from houv_tpu.ops.sampling import furthest_point_sample
+
+    merged = jnp.concatenate([src, tgt], axis=1)
+    idx = furthest_point_sample(merged, n_points)
+    return jnp.take_along_axis(merged, idx[..., None], axis=1)
 
 
 def evaluate_solution(transform: Array, pose_gt: Array):

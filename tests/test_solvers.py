@@ -120,3 +120,44 @@ def test_icp_multistart_beats_vanilla_on_large_rotation(rng):
     # The guarantee: restart 0 is the identity, so the multistart winner's
     # inlier RMSE can never exceed vanilla ICP's.
     assert float(jnp.max(multi["inlier_rmse"] - plain["inlier_rmse"])) <= 1e-5
+
+
+def test_houv_variant_reparams(rng):
+    """The ablation family (sigmoid / unconstrained / euler) all solve a
+    simple full-overlap problem."""
+    src, tgt, pose = _full_overlap_problem(rng, bsz=1, n=96, max_angle_deg=30.0)
+    # Sigmoid saturates (the reference's own histograms show it converging
+    # worse than sine — that's why sine won); only require better-than-random.
+    for kwargs, bound in (
+        (dict(reparam="sigmoid"), 60.0),
+        (dict(reparam="unconstrained"), 25.0),
+        (dict(rotation_mode="euler"), 70.0),
+    ):
+        cfg = HOUVConfig(kernel=16, steps=250, angle_passes=1,
+                         use_pallas=False, **kwargs)
+        out = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                         jax.random.PRNGKey(4), cfg)
+        r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+        assert float(r_err[0]) < bound, (kwargs, float(r_err[0]))
+
+
+def test_houv_voxel_downsample(rng):
+    src, tgt, pose = _full_overlap_problem(rng, bsz=1, n=256, max_angle_deg=20.0)
+    cfg = HOUVConfig(kernel=8, steps=150, angle_passes=1, use_pallas=False,
+                     voxel_downsample=24)
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                     jax.random.PRNGKey(5), cfg)
+    r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(r_err[0]) < 20.0, float(r_err[0])
+
+
+def test_combine_fps_merge(rng):
+    from houv_tpu.solvers.houv import combine
+
+    src = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32)) + 3.0
+    merged = combine(src, tgt, 64)
+    assert merged.shape == (2, 64, 3)
+    # FPS spreads across both clouds: some points from each
+    m = np.asarray(merged)
+    assert (m[:, :, 0] < 1.5).any() and (m[:, :, 0] > 1.5).any()
