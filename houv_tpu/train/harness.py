@@ -216,6 +216,27 @@ class _TrainerBase:
 
     # --- loops ------------------------------------------------------------
 
+    def fit_steps(self, loader, n_steps: int, epoch_len: int = 1000,
+                  val_ds=None):
+        """Step-based training from a prefetching loader (e.g. the native
+        C++ NativeRegistrationLoader): the device never waits on Python."""
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state(loader.next_batch())
+        meter = AverageValueMeter()
+        t0 = time.time()
+        for step in range(n_steps):
+            epoch = step // epoch_len
+            loss = self.train_step(loader.next_batch(), epoch, step)
+            meter.update(float(loss))
+            if step % cfg.step_interval_to_print == 0:
+                logger.info("step %d loss %.6f", step, float(loss))
+        logger.info("fit_steps done: mean loss %.6f (%.1fs)",
+                    meter.avg, time.time() - t0)
+        if val_ds is not None:
+            self.validate(val_ds, epoch=n_steps // epoch_len)
+        return self.state
+
     def fit(self, train_ds, val_ds=None):
         cfg = self.cfg
         if self.state is None:
