@@ -264,6 +264,8 @@ class MVPRegistrationDataset:
     max_trans: float = 0.5
     index_range: tuple[int, int] | None = None
     category: int | None = None
+    with_voxels: bool = False  # MVP_RG_rotated extras (dataset.py:189-348)
+    grid_size: int = 50
 
     def __post_init__(self):
         if self.data is None:
@@ -330,7 +332,39 @@ class MVPRegistrationDataset:
             batch["rot_level"] = (
                 rl[indices] if np.ndim(rl) > 0 else np.full(len(src), rl)
             )
+        if self.with_voxels:
+            self._add_voxel_fields(batch)
         return batch
+
+    def _add_voxel_fields(self, batch):
+        """MVP_RG_rotated extras (reference dataset.py:189-348): per-cloud
+        voxel-mean points + occupied counts, the GT rotation angle, and the
+        add_ps flag (angle > 45°, via translation_back :334-339)."""
+        def voxelize(clouds):
+            vps, cnts = [], []
+            for cloud in clouds:
+                mi, mx = cloud.min(0), cloud.max(0)
+                intervals = (mx - mi) / (self.grid_size - 1)
+                intervals[intervals == 0] = 1e-9
+                grid = np.floor(
+                    (np.clip(cloud, mi, mx) - mi) / intervals
+                ).astype(np.int64)
+                unq, inv, cnt = np.unique(grid, return_inverse=True,
+                                          return_counts=True, axis=0)
+                vp = np.zeros_like(cloud)
+                np.add.at(vp, inv, cloud / cnt[inv][:, None])
+                vps.append(vp)
+                cnts.append(unq.shape[0])
+            return np.stack(vps), np.asarray(cnts, np.int32)
+
+        batch["voxel_src"], batch["voxel_src_count"] = voxelize(batch["src"])
+        batch["voxel_tgt"], batch["voxel_tgt_count"] = voxelize(batch["tgt"])
+        if "transform" in batch:
+            r = batch["transform"][:, :3, :3]
+            tr = np.trace(r, axis1=1, axis2=2)
+            angle = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+            batch["angle"] = angle.astype(np.float32)
+            batch["add_ps"] = (angle > 45.0).astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -447,3 +481,28 @@ class MVPCompletionDataset:
         if self.with_voxels:
             batch["coords"] = self._voxel_coords(partial)
         return batch
+
+    def get_triplet_batch(self, indices, rng: np.random.Generator | None = None):
+        """Anchor / positive / negative partials for embedding training
+        (reference MVP_CP_choose_triple, completion/dataset.py:313-428):
+        positive = another view of the same model, negative = a different
+        model (preferring the same class)."""
+        rng = rng or np.random.default_rng()
+        indices = np.asarray(indices)
+        v = self.views_per_model
+        n = len(self.partial)
+        all_models = (np.arange(n) + self.offset) // v
+        models = (indices + self.offset) // v
+        pos_idx = np.empty_like(indices)
+        neg_idx = np.empty_like(indices)
+        for i, (idx, m) in enumerate(zip(indices, models)):
+            same = np.nonzero((all_models == m) & (np.arange(n) != idx))[0]
+            pos_idx[i] = rng.choice(same) if len(same) else idx
+            other = np.nonzero(all_models != m)[0]
+            neg_idx[i] = rng.choice(other) if len(other) else idx
+        return {
+            "anchor": self.partial[indices].astype(np.float32),
+            "positive": self.partial[pos_idx].astype(np.float32),
+            "negative": self.partial[neg_idx].astype(np.float32),
+            "label": self.labels[indices].astype(np.int32),
+        }

@@ -2,6 +2,7 @@ from houv_tpu.metrics.cd import (
     calc_cd,
     calc_cd_percent,
     calc_cd_percent_aligned,
+    calc_cd_percent_len,
     loss_view,
     fscore,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "calc_cd",
     "calc_cd_percent",
     "calc_cd_percent_aligned",
+    "calc_cd_percent_len",
     "loss_view",
     "fscore",
     "calc_emd",

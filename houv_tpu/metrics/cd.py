@@ -123,6 +123,43 @@ def calc_cd_percent_aligned(
     return cd_p, cd_t, i1, i2, kept1, kept2
 
 
+def calc_cd_percent_len(
+    output: Array,
+    gt: Array,
+    mask_output: Array | None = None,
+    mask_gt: Array | None = None,
+    calc_f1: bool = False,
+    use_pallas: bool | None = None,
+):
+    """CD with per-cloud validity masks (reference
+    model_utils_completion.py:119-154 — the committed reference's masking is
+    commented out, making it equal to calc_cd; here masks actually work:
+    invalid rows contribute zero and the means renormalize).
+
+    mask_output (B, N) / mask_gt (B, M): 1 = valid point."""
+    d1, d2, _, _ = chamfer(gt, output, use_pallas)
+    if mask_gt is not None:
+        m = mask_gt.astype(d1.dtype)
+        n1 = jnp.maximum(m.sum(-1), 1.0)
+        s1 = (_safe_sqrt(d1) * m).sum(-1) / n1
+        t1 = (d1 * m).sum(-1) / n1
+    else:
+        s1, t1 = _safe_sqrt(d1).mean(-1), d1.mean(-1)
+    if mask_output is not None:
+        m = mask_output.astype(d2.dtype)
+        n2 = jnp.maximum(m.sum(-1), 1.0)
+        s2 = (_safe_sqrt(d2) * m).sum(-1) / n2
+        t2 = (d2 * m).sum(-1) / n2
+    else:
+        s2, t2 = _safe_sqrt(d2).mean(-1), d2.mean(-1)
+    cd_p = (s1 + s2) / 2.0
+    cd_t = t1 + t2
+    if calc_f1:
+        f1, _, _ = fscore(d1, d2)
+        return cd_p, cd_t, f1
+    return cd_p, cd_t
+
+
 def loss_view(
     src: Array,
     tgt: Array,

@@ -35,6 +35,12 @@ from houv_tpu.models.embedding import (
     PCNTransformer,
     triplet_loss,
 )
+from houv_tpu.models.pointnet2 import (
+    PointSAModule,
+    PointFPModule,
+    points_sampler,
+)
+from houv_tpu.models.voxelnet import SparseBasicBlock
 
 _REGISTRY = {
     # completion (reference completion/models/*.py)
@@ -74,5 +80,6 @@ __all__ = [
     "Asymm3DSpconv", "DGCNN", "Pointer", "GMRBackbone", "get_rri", "GNN",
     "AlignmentClassifier", "VoxAsym", "alignment_bce_loss",
     "make_aligned_pairs", "InstanceEmbedding", "TransformerRegressor",
-    "PCNTransformer", "triplet_loss",
+    "PCNTransformer", "triplet_loss", "PointSAModule", "PointFPModule",
+    "points_sampler", "SparseBasicBlock",
 ]

@@ -150,6 +150,31 @@ class ReconBlock(nn.Module):
         return SparseGrid(att * sg.features, sg.coords, sg.mask, sg.grid_size)
 
 
+class SparseBasicBlock(nn.Module):
+    """ResNet-style sparse residual block (reference
+    utils/mm3d_pn2/ops/sparse_block.py SparseBasicBlock): two 3x3x3
+    submanifold convs with BN + ReLU and an identity shortcut."""
+
+    out_filters: int
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, sg: SparseGrid, lookup: Array, train: bool = False):
+        def bn():
+            return nn.BatchNorm(use_running_average=not train,
+                                axis_name=self.axis_name)
+
+        identity = sg.features
+        h = SubMConv(self.out_filters, (3, 3, 3))(sg, lookup)
+        h = _masked_bn(_act(h, nn.relu), bn())
+        h = SubMConv(self.out_filters, (3, 3, 3))(h, lookup)
+        h = _masked_bn(h, bn())
+        if identity.shape[-1] != self.out_filters:
+            identity = nn.Dense(self.out_filters, use_bias=False)(identity)
+        out = nn.relu(h.features + identity)
+        return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
+
+
 class Asymm3DSpconv(nn.Module):
     """Full voxel encoder: context block + 3 stride-2 ResBlocks + ReconBlock,
     global feature = max-pooled concat of the last two stages -> (B, 8·init)

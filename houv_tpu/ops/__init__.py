@@ -20,6 +20,22 @@ from houv_tpu.ops.voxel import (
     voxelize_occupancy,
     voxelize_features_mean,
 )
+from houv_tpu.ops.scatter import scatter_add_matmul, gather_rows_matmul
+from houv_tpu.ops.boxes import (
+    boxes_iou_bev,
+    nms_bev,
+    points_in_boxes,
+    assign_score_withk,
+)
+from houv_tpu.ops.sparse_conv import (
+    SparseGrid,
+    from_point_voxels,
+    build_lookup,
+    subm_conv,
+    sparse_conv_down,
+    to_dense,
+    masked_max,
+)
 
 __all__ = [
     "chamfer",
@@ -42,4 +58,17 @@ __all__ = [
     "voxelize_mean",
     "voxelize_occupancy",
     "voxelize_features_mean",
+    "scatter_add_matmul",
+    "gather_rows_matmul",
+    "boxes_iou_bev",
+    "nms_bev",
+    "points_in_boxes",
+    "assign_score_withk",
+    "SparseGrid",
+    "from_point_voxels",
+    "build_lookup",
+    "subm_conv",
+    "sparse_conv_down",
+    "to_dense",
+    "masked_max",
 ]

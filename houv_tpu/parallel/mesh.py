@@ -97,6 +97,82 @@ def sharded_houv_solve(
     return {"transform": transform, "rmse": rmse, "n_retry": n_retry}
 
 
+def make_mesh_2d(n_data: int, n_restart: int, devices=None) -> Mesh:
+    """2-D mesh for the HOUV sweep: pairs shard over 'data', the kernel
+    (restart) axis shards over 'restart' — the TPU analogue of model
+    parallelism for an optimization-as-inference workload: each device owns
+    kernel/n_restart optimization replicas of its pair shard."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_restart]).reshape(
+        n_data, n_restart
+    )
+    return Mesh(devices, ("data", "restart"))
+
+
+def sharded_houv_solve_2d(
+    src: Array,
+    tgt: Array,
+    key: Array,
+    mesh: Mesh,
+    cfg: HOUVConfig = HOUVConfig(),
+):
+    """HOUV sweep over a (data, restart) mesh.
+
+    Each device solves kernel/n_restart restarts of B/n_data pairs; the
+    cross-device best-restart selection is a pmin + masked psum over the
+    'restart' axis (replaces the reference's host-side topk over the
+    kernel axis, train_utils.py:536-544)."""
+    n_data = mesh.shape["data"]
+    n_restart = mesh.shape["restart"]
+    if src.shape[0] % n_data:
+        raise ValueError(
+            f"batch {src.shape[0]} not divisible by data axis {n_data}"
+        )
+    if cfg.kernel % n_restart:
+        raise ValueError(
+            f"kernel {cfg.kernel} not divisible by restart axis {n_restart}"
+        )
+    local_cfg = dataclasses_replace_kernel(cfg, cfg.kernel // n_restart)
+
+    def local_solve(src_l, tgt_l, key_l):
+        di = jax.lax.axis_index("data")
+        ri = jax.lax.axis_index("restart")
+        my_key = jax.random.fold_in(
+            jax.random.fold_in(key_l[0], di), ri
+        )
+        out = houv_solve(src_l, tgt_l, my_key, local_cfg)
+        rmse = out["rmse"]                      # (Bl,) local best
+        tf = out["transform"]                   # (Bl, 4, 4)
+        best = jax.lax.pmin(rmse, "restart")
+        is_best = rmse <= best
+        # Break ties toward the lowest restart-shard index.
+        owner = jax.lax.pmin(
+            jnp.where(is_best, ri, jnp.int32(2**30)), "restart"
+        )
+        mine = (owner == ri)[:, None, None]
+        tf_global = jax.lax.psum(jnp.where(mine, tf, 0.0), "restart")
+        n_retry = jax.lax.psum(out["n_retry"], ("data", "restart"))
+        return tf_global, best, n_retry
+
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P()),
+        check_rep=False,
+    )
+    keys = jnp.broadcast_to(key, (1,) + key.shape)
+    transform, rmse, n_retry = jax.jit(fn)(src, tgt, keys)
+    return {"transform": transform, "rmse": rmse, "n_retry": n_retry}
+
+
+def dataclasses_replace_kernel(cfg: HOUVConfig, kernel: int) -> HOUVConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, kernel=kernel)
+
+
 def data_parallel_grads(loss_fn, params, batch, axis: str = "data"):
     """Per-shard grads + psum-mean — the inside of a DP train step under
     shard_map. Returns (loss, grads), both psum-averaged over the mesh."""

@@ -90,6 +90,57 @@ def train_main(argv=None):
     trainer.fit(train_ds, val_ds)
 
 
+def combine_main(cfg: Config, log) -> str:
+    """Idempotent shard combine (replaces the reference's sleep-600 +
+    blind concatenate, run_test.sh:20-23 / test_mult.py:70-81): reads the
+    shard manifest, re-solves any MISSING ranges, then merges. Restartable
+    at shard granularity like the reference's .npy scheme, but it verifies
+    coverage instead of hoping."""
+    import glob
+    import json
+
+    import h5py
+
+    out_dir = os.path.join(cfg.work_dir, cfg.model_name)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    total = len(build_dataset(cfg, "test"))
+    shards = {}
+    for path in glob.glob(os.path.join(out_dir, "results_*_*.h5")):
+        name = os.path.basename(path)[len("results_"):-len(".h5")]
+        l, r = (int(x) for x in name.split("_"))
+        shards[(l, r)] = path
+    covered = np.zeros(total, bool)
+    for (l, r) in shards:
+        covered[l:r] = True
+    missing = []
+    start = None
+    for i in range(total + 1):
+        gap = i < total and not covered[i]
+        if gap and start is None:
+            start = i
+        if not gap and start is not None:
+            missing.append((start, i))
+            start = None
+    for (l, r) in missing:
+        log.info("re-solving missing shard [%d, %d)", l, r)
+        test_main(["-c", cfg._config_path, "-l", str(l), "-r", str(r)])
+        shards[(l, r)] = os.path.join(out_dir, f"results_{l}_{r}.h5")
+    parts = []
+    for (l, r) in sorted(shards):
+        with h5py.File(shards[(l, r)]) as f:
+            parts.append(f["results"][()])
+    results = np.concatenate(parts, axis=0)[:total]
+    h5_path = write_results_h5(os.path.join(out_dir, "results.h5"), results)
+    write_submission(os.path.join(out_dir, "submission.zip"), h5_path)
+    with open(manifest_path, "w") as f:
+        json.dump(
+            {"total": total,
+             "shards": [[l, r] for (l, r) in sorted(shards)]}, f,
+        )
+    log.info("combined %d shards -> %s", len(shards), h5_path)
+    return h5_path
+
+
 def test_main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
@@ -98,8 +149,12 @@ def test_main(argv=None):
     p.add_argument("--combine", default=False)
     args = p.parse_args(argv)
     cfg = load_config(args.config)
+    cfg._config_path = args.config
     setup_logging(None)
     log = logging.getLogger("houv_tpu")
+
+    if args.combine:
+        return combine_main(cfg, log)
 
     index_range = (args.l, args.r) if args.l is not None else None
     ds = build_dataset(cfg, "test", index_range=index_range)

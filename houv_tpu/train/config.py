@@ -100,6 +100,12 @@ class Config:
     # parallel
     n_devices: int | None = None
 
+    # observability (replaces the reference's ad-hoc time.time() walls,
+    # SURVEY.md §5 tracing row): when set, the first profile_steps train
+    # steps are captured with jax.profiler into this directory.
+    profile_dir: str | None = None
+    profile_steps: int = 10
+
     extras: dict = dataclasses.field(default_factory=dict)
 
     _TUPLE_FIELDS = {

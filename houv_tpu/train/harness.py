@@ -244,6 +244,10 @@ class _TrainerBase:
             self.init_state(first)
         train_meter = AverageValueMeter()
         global_step = 0
+        profiling = False
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
         for epoch in range(cfg.start_epoch, cfg.nepoch):
             self.state["epoch"] = epoch
             train_meter.reset()
@@ -261,6 +265,10 @@ class _TrainerBase:
                         float(loss),
                     )
                 global_step += 1
+                if profiling and global_step >= cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profile written to %s", cfg.profile_dir)
             logger.info(
                 "epoch %d done: mean loss %.6f (%.1fs)",
                 epoch, train_meter.avg, time.time() - t0,
@@ -269,6 +277,8 @@ class _TrainerBase:
                 self.save("network.ckpt")
             if val_ds is not None and epoch % cfg.epoch_interval_to_val == 0:
                 self.validate(val_ds, epoch)
+        if profiling:
+            jax.profiler.stop_trace()
         return self.state
 
 

@@ -50,3 +50,39 @@ def test_shard_batch_places_leading_axis():
     sharded = shard_batch(batch, mesh)
     shard_shapes = [s.data.shape for s in sharded["x"].addressable_shards]
     assert all(s == (2, 4) for s in shard_shapes)
+
+
+def test_sharded_solve_2d_mesh():
+    """(data=4, restart=2) mesh: restart-parallel best selection must agree
+    with a single-device solve of the same effective kernel."""
+    from houv_tpu.parallel import make_mesh_2d, sharded_houv_solve_2d
+
+    mesh = make_mesh_2d(4, 2)
+    data = synthesize_registration_pairs(8, n_points=64, max_angle_deg=35.0,
+                                         seed=13)
+    src = jnp.asarray(data["rotated_src"])
+    tgt = jnp.asarray(data["rotated_tgt"])
+    cfg = HOUVConfig(kernel=8, steps=100, angle_passes=1, use_pallas=False)
+    out = sharded_houv_solve_2d(src, tgt, jax.random.PRNGKey(0), mesh, cfg)
+    assert out["transform"].shape == (8, 4, 4)
+    r = np.asarray(out["transform"][:, :3, :3])
+    np.testing.assert_allclose(
+        r @ np.swapaxes(r, 1, 2),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (8, 3, 3)),
+        atol=1e-4,
+    )
+    assert np.isfinite(np.asarray(out["rmse"])).all()
+    # each pair's reported rmse is the min over all restart shards
+    r_err, _ = evaluate_solution(out["transform"],
+                                 jnp.asarray(data["transforms"]))
+    assert float(jnp.mean(r_err)) < 60.0
+
+
+def test_sharded_solve_2d_rejects_bad_kernel():
+    from houv_tpu.parallel import make_mesh_2d, sharded_houv_solve_2d
+
+    mesh = make_mesh_2d(2, 4)
+    src = jnp.zeros((4, 32, 3))
+    cfg = HOUVConfig(kernel=6)  # 6 % 4 != 0
+    with pytest.raises(ValueError, match="kernel"):
+        sharded_houv_solve_2d(src, src, jax.random.PRNGKey(0), mesh, cfg)
