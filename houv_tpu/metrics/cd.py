@@ -82,6 +82,7 @@ def calc_cd_percent(
     percent: float = 1.0,
     use_pallas: bool | None = None,
     fast: bool = False,
+    exact_scores: bool = False,
 ) -> tuple[Array, Array]:
     """Truncated one-sided CDs: keep only the smallest ``percent`` fraction of
     per-point distances on each side — the core of HOUV's partial-overlap
@@ -92,7 +93,7 @@ def calc_cd_percent(
     """
     n = output.shape[-2]
     k = int(n * percent)
-    d1, d2, _, _ = chamfer(gt, output, use_pallas)
+    d1, d2, _, _ = chamfer(gt, output, use_pallas, exact_scores=exact_scores)
     if fast:
         cd_p = (smallest_k_sqrt_mean_fast(d1, k)
                 if k < d1.shape[-1] else _safe_sqrt(d1).mean(axis=-1))

@@ -155,11 +155,12 @@ def _argmin_kernel(a_ref, bt_ref, b2_ref, idx_ref, max_ref, *, exact: bool):
     sublanes; idx_ref/max_ref: (BB, TILE).
     """
     dtype = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     for b in range(_BATCH_BLOCK):
         a = a_ref[b].astype(dtype)           # (TILE, 8)
         bt = bt_ref[b].astype(dtype)         # (8, Mp)
         score = 2.0 * jnp.dot(
-            a, bt, preferred_element_type=jnp.float32
+            a, bt, preferred_element_type=jnp.float32, precision=prec
         ) - b2_ref[b, 0:1, :]                # (TILE, Mp) on the MXU
         idx_ref[b, :] = jnp.argmax(score, axis=1).astype(jnp.int32)
         max_ref[b, :] = jnp.max(score, axis=1)
@@ -224,6 +225,108 @@ def _argmin_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
 
 
 # ---------------------------------------------------------------------------
+# Fused NN kernel: argmin + exact distance + in-kernel neighbor gather
+# ---------------------------------------------------------------------------
+
+def _nn_full_kernel(a_ref, bt_ref, b2_ref, idx_ref, d_ref, nb_ref, *,
+                    exact: bool):
+    """Per batch row: nearest index, exact squared distance, and the matched
+    neighbor coordinates — the gather happens in-kernel as a one-hot MXU
+    matmul, so the solver step needs no XLA row-gathers at all."""
+    for b in range(_BATCH_BLOCK):
+        a = a_ref[b]                               # (TILE, 8) f32
+        bt = bt_ref[b]                             # (8, Mp) f32
+        if exact:
+            # Exact per-coordinate squared distances on the VPU (b2 carries
+            # the +4e18 padding sentinel in its padded columns).
+            score = -(
+                jnp.square(a[:, 0:1] - bt[0:1, :])
+                + jnp.square(a[:, 1:2] - bt[1:2, :])
+                + jnp.square(a[:, 2:3] - bt[2:3, :])
+            )
+            pad = b2_ref[b, 0:1, :] > 1e18
+            score = jnp.where(pad, -jnp.float32(4e18), score)
+        else:
+            # bf16 MXU scores: only WHICH neighbor wins a near-exact tie can
+            # differ — the selected distance/coords below stay exact f32.
+            score = 2.0 * jnp.dot(
+                a.astype(jnp.bfloat16), bt.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) - b2_ref[b, 0:1, :]                  # (TILE, Mp)
+        idx = jnp.argmax(score, axis=1).astype(jnp.int32)
+        idx_ref[b, :] = idx
+        cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        oh = (cols == idx[:, None]).astype(jnp.float32)   # (TILE, Mp)
+        # Exact one-hot selection on the VPU: one multiply-reduce per
+        # coordinate (a single nonzero per row -> no accumulation error).
+        nbs = [
+            jnp.sum(oh * bt[c : c + 1, :], axis=1, keepdims=True)
+            for c in range(3)
+        ]
+        nb = jnp.concatenate(
+            nbs + [jnp.zeros_like(nbs[0])] * 5, axis=1
+        )                                          # (TILE, 8)
+        nb_ref[b, :, :] = nb
+        diff = a - nb
+        d_ref[b, :] = jnp.sum(diff * diff, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "exact")
+)
+def _nn_full_pallas(a: Array, b: Array, tile: int = 256,
+                    interpret: bool = False, exact: bool = False):
+    """(B, N, 3) × (B, M, 3) -> (d (B, N), idx (B, N), nb (B, N, 3))."""
+    bsz, n, _ = a.shape
+    m = b.shape[1]
+    bb = _BATCH_BLOCK
+    bp = _round_up(bsz, bb)
+    tile = min(tile, _round_up(n, _LANE))
+    np_ = _round_up(n, tile)
+    mp = _round_up(m, _LANE)
+
+    a_pad = jnp.pad(
+        a.astype(jnp.float32),
+        ((0, bp - bsz), (0, np_ - n), (0, 8 - a.shape[-1])),
+    )
+    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
+    bt = jnp.pad(bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m)))
+    b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
+    b2 = jnp.pad(b2, ((0, bp - bsz), (0, mp - m)),
+                 constant_values=jnp.float32(4e18))
+    b2 = jnp.broadcast_to(b2[:, None, :], (bp, 8, mp))
+
+    grid = (bp // bb, np_ // tile)
+    idx, d, nb = pl.pallas_call(
+        functools.partial(_nn_full_kernel, exact=exact),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
+            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((bp, np_, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_pad, bt, b2)
+    return d[:bsz, :n], idx[:bsz, :n], nb[:bsz, :n, :3]
+
+
+# ---------------------------------------------------------------------------
 # Public op
 # ---------------------------------------------------------------------------
 
@@ -257,14 +360,10 @@ def _nn_forward(a, b, use_pallas, interpret, exact):
     sa = jax.lax.stop_gradient(a)
     sb = jax.lax.stop_gradient(b)
     if use_pallas or interpret:
-        idx, mx = _argmin_one_way_pallas(sa, sb, interpret=interpret,
-                                         exact=exact)
-        if exact:
-            d = jnp.maximum(jnp.sum(sa * sa, axis=-1) - mx, 0.0)
-            return d, idx, None
-        nb = jnp.take_along_axis(sb, idx[..., None], axis=1)
-        diff = sa - nb
-        return jnp.sum(diff * diff, axis=-1), idx, diff
+        # Fused kernel: index + exact distance + in-kernel one-hot gather of
+        # the matched neighbor — no XLA row-gathers anywhere in the step.
+        d, idx, nb = _nn_full_pallas(sa, sb, interpret=interpret, exact=exact)
+        return d, idx, sa - nb
     dist = pairwise_sqdist(sa, sb)
     idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
     return jnp.min(dist, axis=-1), idx, None
@@ -308,7 +407,7 @@ def chamfer(
     b: Array,
     use_pallas: bool | None = None,
     interpret: bool = False,
-    exact_scores: bool = True,
+    exact_scores: bool = False,
 ) -> tuple[Array, Array, Array, Array]:
     """Bidirectional squared chamfer: (B,N,3),(B,M,3) -> (d1, d2, i1, i2).
 

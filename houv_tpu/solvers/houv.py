@@ -72,6 +72,7 @@ class HOUVConfig:
     # Ablation family (the reference's getPredict variants / cd_keba module,
     # train_utils.py:150-338, models/simple_icp.py:16-61; histogram-compared
     # in visu_utils.analyseDises):
+    exact_scores: bool = True  # f32 nearest-neighbor scores (bf16 costs ~1° rot)
     reparam: str = "sine"     # 'sine' | 'sigmoid' | 'unconstrained'
     rotation_mode: str = "axis_angle"  # 'axis_angle' | 'euler' (rotation_v2)
     voxel_downsample: int | None = None  # getPredict_cd_vox-style input reduction
@@ -164,7 +165,8 @@ def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
         bsz * kernel, -1, 3
     )
     cd_p, cd_t = calc_cd_percent(
-        src_t, tgt_r, cfg.percent, cfg.use_pallas, fast=cfg.fast_trim
+        src_t, tgt_r, cfg.percent, cfg.use_pallas, fast=cfg.fast_trim,
+        exact_scores=cfg.exact_scores,
     )
     min_1 = jnp.minimum(cd_p, cd_t)  # (B·K,)
     loss = cfg.loss_weight * min_1
