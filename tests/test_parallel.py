@@ -86,3 +86,29 @@ def test_sharded_solve_2d_rejects_bad_kernel():
     cfg = HOUVConfig(kernel=6)  # 6 % 4 != 0
     with pytest.raises(ValueError, match="kernel"):
         sharded_houv_solve_2d(src, src, jax.random.PRNGKey(0), mesh, cfg)
+
+
+def test_trainer_with_mesh_dp(tmp_path):
+    """CompletionTrainer with a mesh: batch sharded over 'data', params
+    replicated, XLA inserts the gradient psum (the DataParallel path)."""
+    from houv_tpu.data import MVPCompletionDataset, synthesize_completion_set
+    from houv_tpu.data.pipeline import batch_iterator
+    from houv_tpu.train import Config
+    from houv_tpu.train.harness import CompletionTrainer
+
+    mesh = make_mesh()
+    cfg = Config(model_name="pcn", num_points=64, num_coarse=32,
+                 batch_size=8, lr=1e-3, work_dir=str(tmp_path),
+                 step_interval_to_print=1000)
+    trainer = CompletionTrainer(cfg, mesh=mesh)
+    data = synthesize_completion_set(1, views_per_model=8, n_partial=64,
+                                     n_complete=64)
+    ds = MVPCompletionDataset("train", data=data, views_per_model=8,
+                              scale_aug=False)
+    first = next(batch_iterator(ds, 8, seed=0))
+    trainer.init_state(first)
+    l0 = float(trainer.train_step(first, 0, 0))
+    l1 = float(trainer.train_step(first, 0, 1))
+    for _ in range(6):
+        l1 = float(trainer.train_step(first, 0, 2))
+    assert np.isfinite(l0) and l1 < l0
