@@ -77,11 +77,80 @@ def make_trainer(cfg: Config):
     return CompletionTrainer(cfg)
 
 
+def houv_eval_main(cfg: Config, log) -> dict:
+    """Solver evaluation on the labeled val split (reference
+    registration/train_HOUV.py:40-131: deliberately aliases the train loop
+    to the test dataloader and reports RotE/transE/MSE/RMSE/recall globally
+    and per (rot_level × match_level) bucket)."""
+    import time
+
+    from houv_tpu.geometry.rotations import (
+        rotation_geodesic_error,
+        rmse_loss as rmse_fn,
+        translation_error,
+    )
+    from houv_tpu.parallel import make_mesh, sharded_houv_solve
+    from houv_tpu.solvers import HOUVConfig
+    from houv_tpu.solvers.houv import evaluate_solution
+    from houv_tpu.utils.meters import AverageValueMeter, SplitMeterGrid
+
+    ds = build_dataset(cfg, "val")
+    mesh = make_mesh(cfg.n_devices)
+    n_dev = mesh.devices.size
+    scfg = HOUVConfig(
+        kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
+        retry_threshold=cfg.retry_threshold, angle_passes=cfg.angle_passes,
+    )
+    meters = {m: AverageValueMeter()
+              for m in ("RotE", "transE", "MSE", "RMSE", "recall")}
+    grid = SplitMeterGrid()
+    bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
+    key = jax.random.PRNGKey(cfg.manual_seed or 2021)
+    t0 = time.time()
+    n_done = 0
+    for start in range(0, (len(ds) // bs) * bs, bs):
+        batch = ds.get_batch(np.arange(start, start + bs))
+        out = sharded_houv_solve(
+            jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+            jax.random.fold_in(key, start), mesh, scfg,
+        )
+        tf = out["transform"]
+        t_gt = jnp.asarray(batch["transform"])
+        r_err, t_err = evaluate_solution(tf, t_gt)
+        rmse = rmse_fn(jnp.asarray(batch["src"]), tf, t_gt)
+        mse = rotation_geodesic_error(tf[:, :3, :3], t_gt[:, :3, :3]) \
+            + translation_error(tf[:, :3, 3], t_gt[:, :3, 3])
+        vals = {
+            "RotE": np.asarray(r_err), "transE": np.asarray(t_err),
+            "MSE": np.asarray(mse), "RMSE": np.asarray(rmse),
+            "recall": (np.asarray(rmse) < 0.1).astype(np.float32),
+        }
+        for m, arr in vals.items():
+            meters[m].update(float(arr.mean()), bs)
+        if "rot_level" in batch and "match_level" in batch:
+            grid.update(batch["rot_level"], batch["match_level"], vals)
+        n_done += bs
+        log.info(
+            "[%d/%d] " % (n_done, len(ds))
+            + "".join(f"{m}: {v.avg:.4f}; " for m, v in meters.items())
+            + "retries %d" % int(out["n_retry"])
+        )
+    for line in grid.logs():
+        log.info(line)
+    log.info("HOUV eval done: %d pairs in %.1fs (%.3f pairs/s)",
+             n_done, time.time() - t0, n_done / max(time.time() - t0, 1e-9))
+    return {m: v.avg for m, v in meters.items()}
+
+
 def train_main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
     args = p.parse_args(argv)
     cfg = load_config(args.config)
+    if cfg.model_name == "houv":
+        setup_logging(os.path.join(cfg.work_dir, "houv"))
+        log = logging.getLogger("houv_tpu")
+        return houv_eval_main(cfg, log)
     trainer = make_trainer(cfg)
     setup_logging(trainer.log_dir)
     logging.getLogger("houv_tpu").info("config: %s", cfg)
