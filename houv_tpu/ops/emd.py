@@ -54,9 +54,12 @@ def _auction_single(x1: Array, x2: Array, eps: float, iters: int):
         it, assignment, assignment_inv, price = state
         unass = assignment < 0  # (N,)
         value = -dist - price[None, :]  # (N, M)
-        top2, top2_idx = jax.lax.top_k(value, 2)
-        best, better = top2[:, 0], top2[:, 1]
-        best_idx = top2_idx[:, 0]
+        # top-2 via two max passes (cheaper than lax.top_k's sort on TPU)
+        best = jnp.max(value, axis=1)
+        best_idx = jnp.argmax(value, axis=1).astype(jnp.int32)
+        cols = jnp.arange(m, dtype=jnp.int32)
+        masked = jnp.where(cols[None, :] == best_idx[:, None], -jnp.inf, value)
+        better = jnp.max(masked, axis=1)
         inc = best - better + eps  # bid increment per bidder
 
         # Winner per item: max increment among unassigned bidders whose best

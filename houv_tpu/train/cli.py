@@ -28,7 +28,7 @@ from houv_tpu.train.harness import CompletionTrainer, RegistrationTrainer
 from houv_tpu.train.submission import write_results_h5, write_submission
 from houv_tpu.utils.logging_utils import setup_logging
 
-REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv"}
+REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp"}
 
 
 def is_registration(cfg: Config) -> bool:
@@ -142,6 +142,41 @@ def houv_eval_main(cfg: Config, log) -> dict:
     return {m: v.avg for m, v in meters.items()}
 
 
+def icp_eval_main(cfg: Config, log) -> dict:
+    """Batched ICP / multistart-ICP baseline evaluation (reference
+    registration/train_ICP.py:104-210 per-pair Open3D loop and
+    test_goicp.py's Go-ICP sweep — both replaced by on-device batched
+    solves; 'goicp' selects the multistart global search)."""
+    from houv_tpu.solvers import icp_solve
+    from houv_tpu.solvers.houv import evaluate_solution
+    from houv_tpu.solvers.icp import icp_solve_multistart
+    from houv_tpu.utils.meters import AverageValueMeter
+
+    ds = build_dataset(cfg, "val")
+    meters = {m: AverageValueMeter() for m in ("RotE", "transE", "recall")}
+    bs = cfg.batch_size
+    for start in range(0, (len(ds) // bs) * bs, bs):
+        batch = ds.get_batch(np.arange(start, start + bs))
+        src = jnp.asarray(batch["src"])
+        tgt = jnp.asarray(batch["tgt"])
+        if cfg.model_name == "goicp":
+            out = icp_solve_multistart(
+                src, tgt, jax.random.PRNGKey(start),
+                n_restarts=cfg.kernel, threshold=0.1, max_iters=cfg.num_iters,
+            )
+        else:
+            out = icp_solve(src, tgt, threshold=0.02,
+                            max_iters=max(cfg.num_iters, 50))
+        r_err, t_err = evaluate_solution(
+            out["transform"], jnp.asarray(batch["transform"])
+        )
+        meters["RotE"].update(float(jnp.mean(r_err)), bs)
+        meters["transE"].update(float(jnp.mean(t_err)), bs)
+        meters["recall"].update(float(jnp.mean(r_err < 5.0)), bs)
+        log.info("".join(f"{m}: {v.avg:.4f}; " for m, v in meters.items()))
+    return {m: v.avg for m, v in meters.items()}
+
+
 def train_main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
@@ -151,6 +186,10 @@ def train_main(argv=None):
         setup_logging(os.path.join(cfg.work_dir, "houv"))
         log = logging.getLogger("houv_tpu")
         return houv_eval_main(cfg, log)
+    if cfg.model_name in ("icp", "goicp"):
+        setup_logging(os.path.join(cfg.work_dir, cfg.model_name))
+        log = logging.getLogger("houv_tpu")
+        return icp_eval_main(cfg, log)
     trainer = make_trainer(cfg)
     setup_logging(trainer.log_dir)
     logging.getLogger("houv_tpu").info("config: %s", cfg)
