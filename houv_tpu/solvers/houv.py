@@ -286,6 +286,83 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def houv_pass_segment(src, tgt, params, opt_state, angle_base, cfg: HOUVConfig,
+                      n_steps: int):
+    """n_steps Adam steps of one angle-window pass, resumable: takes and
+    returns (params, opt_state). Lets a long solve be split into bounded
+    dispatches (a single multi-minute XLA program can trip remote-runtime
+    watchdogs; 100-step segments keep each dispatch ~10s)."""
+    opt = optax.adam(cfg.lr)
+    grad_fn = jax.grad(lambda p: _objective(p, src, tgt, angle_base, cfg)[0])
+
+    def body(_, state):
+        params, opt_state = state
+        grads = grad_fn(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def houv_opt_init(params, cfg: HOUVConfig):
+    return optax.adam(cfg.lr).init(params)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def houv_finalize(src, tgt, params, angle_base, cfg: HOUVConfig):
+    _, min_1 = _objective(params, src, tgt, angle_base, cfg)
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode)
+    return min_1, r, t
+
+
+def houv_solve_chunked(src: Array, tgt: Array, key: Array,
+                       cfg: HOUVConfig = HOUVConfig(),
+                       step_chunk: int = 100):
+    """Host-driven variant of ``houv_solve`` for long single-chip runs: the
+    500-step loop is split into jitted segments and the retry logic runs on
+    the host (like the reference's solve), so no dispatch exceeds ~10s and
+    retry passes only run when some pair actually needs them."""
+    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
+
+    def run_pass(angle_base):
+        params = params0
+        opt_state = houv_opt_init(params, cfg)
+        done = 0
+        while done < cfg.steps:
+            n = min(step_chunk, cfg.steps - done)
+            params, opt_state = houv_pass_segment(
+                src, tgt, params, opt_state, angle_base, cfg, n
+            )
+            done += n
+        return houv_finalize(src, tgt, params, angle_base, cfg)
+
+    min_1, r, t = run_pass(0)
+    best = jnp.min(min_1, axis=1)
+    n_retry = int(jnp.sum(best > cfg.retry_threshold))
+    if n_retry:
+        for base in range(1, cfg.angle_passes):
+            m2, r2, t2 = run_pass(float(base))
+            best2 = jnp.min(m2, axis=1)
+            improved = (best > cfg.retry_threshold) & (best2 < best)
+            min_1 = jnp.where(improved[:, None], m2, min_1)
+            r = jnp.where(improved[:, None, None, None], r2, r)
+            t = jnp.where(improved[:, None, None], t2, t)
+            best = jnp.where(improved, best2, best)
+
+    idx = jnp.argmin(min_1, axis=1)
+    r_best = jnp.take_along_axis(r, idx[:, None, None, None], axis=1)[:, 0]
+    t_best = jnp.take_along_axis(t, idx[:, None, None], axis=1)[:, 0]
+    return {
+        "transform": rt_to_transformation(r_best, t_best),
+        "rmse": best,
+        "n_retry": jnp.asarray(n_retry),
+    }
+
+
 def combine(src: Array, tgt: Array, n_points: int = 2048) -> Array:
     """FPS-merge two clouds back to n_points (reference ``combine``,
     train_utils.py:459-464: concat then furthest_point_sample)."""

@@ -1,7 +1,8 @@
 import sys; sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp, numpy as np, time
 from houv_tpu.data import synthesize_registration_pairs
-from houv_tpu.solvers import HOUVConfig, houv_solve
+from houv_tpu.solvers import HOUVConfig
+from houv_tpu.solvers.houv import houv_solve_chunked as houv_solve
 from houv_tpu.solvers.houv import evaluate_solution
 
 # 128 pairs at up-to-90° rotations: exercises the retry machinery at the

@@ -161,3 +161,21 @@ def test_combine_fps_merge(rng):
     # FPS spreads across both clouds: some points from each
     m = np.asarray(merged)
     assert (m[:, :, 0] < 1.5).any() and (m[:, :, 0] > 1.5).any()
+
+
+def test_houv_chunked_matches_jit(rng):
+    """The host-driven chunked solver must match houv_solve's quality on the
+    same problem (same init key, same budget)."""
+    from houv_tpu.solvers.houv import houv_solve_chunked
+
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=96, max_angle_deg=30.0)
+    cfg = HOUVConfig(kernel=8, steps=120, angle_passes=2, use_pallas=False)
+    a = houv_solve(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(0), cfg)
+    b = houv_solve_chunked(jnp.asarray(src), jnp.asarray(tgt),
+                           jax.random.PRNGKey(0), cfg, step_chunk=40)
+    ra, _ = evaluate_solution(a["transform"], jnp.asarray(pose))
+    rb, _ = evaluate_solution(b["transform"], jnp.asarray(pose))
+    # identical algorithm, same key: results should agree closely
+    np.testing.assert_allclose(np.asarray(b["rmse"]), np.asarray(a["rmse"]),
+                               rtol=0.2, atol=5e-3)
+    assert abs(float(ra.mean()) - float(rb.mean())) < 10.0
