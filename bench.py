@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from houv_tpu.data import synthesize_registration_pairs
-from houv_tpu.solvers import HOUVConfig, houv_solve
+from houv_tpu.solvers import HOUVConfig
+# chunked driver: bounded ~10s dispatches (long single dispatches can trip
+# remote-runtime watchdogs), identical algorithm/budget to houv_solve
+from houv_tpu.solvers.houv import houv_solve_chunked as houv_solve
 
 BASELINE_PAIRS_PER_SEC_PER_GPU = 2000.0 / (5400.0 * 4.0)
 
