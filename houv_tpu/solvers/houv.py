@@ -67,6 +67,10 @@ class HOUVConfig:
     lattice_init: bool = True     # seed first 26 axes on the integer lattice
     retry_threshold: float = 0.030  # train_utils.py:493
     angle_passes: int = 4     # angle_base 0..3 (train_utils.py:501)
+    retry_mode: str = "threshold"  # 'threshold' (reference) | 'always':
+    # run every angle window for every pair and keep the lowest loss —
+    # threshold-free (0.030 is MVP-tuned; other data distributions can
+    # converge to sub-threshold wrong-window optima), ~angle_passes× cost.
     use_pallas: bool | None = None  # chamfer dispatch (None = auto by backend)
     fast_trim: bool = True    # bisected truncated mean instead of top_k
     # Ablation family (the reference's getPredict variants / cd_keba module,
@@ -248,7 +252,10 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
 
     min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
     best = jnp.min(min_1, axis=1)  # (B,)
-    need_retry = best > cfg.retry_threshold
+    if cfg.retry_mode == "always":
+        need_retry = jnp.ones_like(best, dtype=bool)
+    else:
+        need_retry = best > cfg.retry_threshold
     n_retry = jnp.sum(need_retry)
 
     def retry_pass(carry, angle_base):
@@ -342,12 +349,16 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
 
     min_1, r, t = run_pass(0)
     best = jnp.min(min_1, axis=1)
-    n_retry = int(jnp.sum(best > cfg.retry_threshold))
+    always = cfg.retry_mode == "always"
+    n_retry = int(jnp.sum(best > cfg.retry_threshold)) if not always \
+        else src.shape[0]
     if n_retry:
+        retry_mask = (jnp.ones_like(best, bool) if always
+                      else best > cfg.retry_threshold)
         for base in range(1, cfg.angle_passes):
             m2, r2, t2 = run_pass(float(base))
             best2 = jnp.min(m2, axis=1)
-            improved = (best > cfg.retry_threshold) & (best2 < best)
+            improved = retry_mask & (best2 < best)
             min_1 = jnp.where(improved[:, None], m2, min_1)
             r = jnp.where(improved[:, None, None, None], r2, r)
             t = jnp.where(improved[:, None, None], t2, t)
