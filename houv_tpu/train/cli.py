@@ -280,10 +280,21 @@ def test_main(argv=None):
             retry_threshold=cfg.retry_threshold,
             angle_passes=cfg.angle_passes,
         )
-        out = sharded_houv_solve(
-            jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
-            jax.random.PRNGKey(cfg.manual_seed or 2021), mesh, scfg,
-        )
+        key = jax.random.PRNGKey(cfg.manual_seed or 2021)
+        if n_dev == 1:
+            # single chip: bounded dispatches (long single XLA programs can
+            # trip remote-runtime watchdogs)
+            from houv_tpu.solvers.houv import houv_solve_chunked
+
+            out = houv_solve_chunked(
+                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+                key, scfg,
+            )
+        else:
+            out = sharded_houv_solve(
+                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+                key, mesh, scfg,
+            )
         results = np.asarray(out["transform"])
         log.info("solved %d pairs, %d retries", n, int(out["n_retry"]))
     else:
