@@ -36,7 +36,9 @@ def three_nn(target: Array, source: Array) -> tuple[Array, Array]:
         axis=2,
     )  # (B, N, 3, 3)
     diff = target[:, :, None, :] - gathered
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    # Floored sqrt: FPS-derived upsampling targets coincide with sources
+    # exactly (d = 0), where sqrt's gradient is inf -> NaNs in training.
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
     return dist, idx
 
 

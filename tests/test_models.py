@@ -93,6 +93,21 @@ def test_vrcnet_knn_with_voxels(rng):
     test = model.apply(params, x, label=label, coords=coords, prefix="test")
     assert test["result"].shape == (1, 384, 3)
 
+    # Regression: gradients must be finite (three_nn's sqrt at the exact-
+    # coincidence points FPS unpooling produces used to emit NaNs).
+    def loss_fn(p):
+        o, _ = model.apply(
+            {"params": p, "batch_stats": params["batch_stats"]},
+            x, gt3, label, coords, "train", mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return o["total_loss"]
+
+    g = jax.grad(loss_fn)(params["params"])
+    assert all(
+        bool(jnp.isfinite(v).all()) for v in jax.tree_util.tree_leaves(g)
+    )
+
 
 def test_dcp_forward_and_loss(rng):
     x, _ = _clouds(rng, 2, 128)
