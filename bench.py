@@ -25,6 +25,10 @@ from houv_tpu.solvers import HOUVConfig
 # remote-runtime watchdogs), identical algorithm/budget to houv_solve
 from houv_tpu.solvers.houv import houv_solve_chunked as houv_solve
 
+from houv_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_PAIRS_PER_SEC_PER_GPU = 2000.0 / (5400.0 * 4.0)
 
 

@@ -28,6 +28,10 @@ from houv_tpu.train.harness import CompletionTrainer, RegistrationTrainer
 from houv_tpu.train.submission import write_results_h5, write_submission
 from houv_tpu.utils.logging_utils import setup_logging
 
+from houv_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp"}
 
 
