@@ -6,6 +6,7 @@ from houv_tpu.data.mvp import (
     random_pose_np,
     synthesize_registration_pairs,
     synthesize_completion_set,
+    synthesize_modelnet_set,
     write_mvp_rg_fixture,
     write_mvp_cp_fixture,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "random_pose_np",
     "synthesize_registration_pairs",
     "synthesize_completion_set",
+    "synthesize_modelnet_set",
     "write_mvp_rg_fixture",
     "write_mvp_cp_fixture",
     "batch_iterator",

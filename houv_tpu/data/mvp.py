@@ -172,6 +172,21 @@ def synthesize_registration_pairs(
     }
 
 
+def synthesize_modelnet_set(
+    n_clouds: int,
+    n_points: int = 1024,
+    seed: int = 2021,
+):
+    """Synthetic ModelNet-like arrays (reference registration/dataset.py:
+    154-187 loads 1024-point full clouds; pairs are made on the fly by
+    ModelNetDataset.get_batch): dict with 'points' (N, n_points, 3)."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [_random_shape(rng, n_points) for _ in range(n_clouds)]
+    )
+    return {"points": pts.astype(np.float32)}
+
+
 def synthesize_completion_set(
     n_models: int,
     views_per_model: int = 26,
@@ -428,6 +443,7 @@ class MVPCompletionDataset:
     views_per_model: int = 26
     scale_aug: bool = True
     index_range: tuple[int, int] | None = None
+    category: int | None = None  # MVP_CP_choose: class-filtered subset
     with_voxels: bool = False
     grid_size: int = 50
     min_volume: float = -0.5
@@ -442,12 +458,21 @@ class MVPCompletionDataset:
         self.partial = d["incomplete_pcds"]
         self.complete = d.get("complete_pcds", d["incomplete_pcds"])
         self.labels = d["labels"]
-        self.offset = 0
+        # orig_idx maps dataset rows back to full-file rows so the
+        # gt = complete[orig // views] relation survives slicing/filtering
+        # (MVP_CP_choose keeps the full complete array,
+        # completion/dataset.py:147-311)
+        self.orig_idx = np.arange(len(self.partial))
         if self.index_range is not None:
             l, r = self.index_range
             self.partial = self.partial[l:r]
             self.labels = self.labels[l:r]
-            self.offset = l
+            self.orig_idx = self.orig_idx[l:r]
+        if self.category is not None:
+            m = np.asarray(self.labels) == self.category
+            self.partial = self.partial[m]
+            self.labels = np.asarray(self.labels)[m]
+            self.orig_idx = self.orig_idx[m]
 
     def __len__(self):
         return len(self.partial)
@@ -469,7 +494,7 @@ class MVPCompletionDataset:
             if self.with_voxels:
                 batch["coords"] = self._voxel_coords(partial)
             return batch
-        gt_idx = (indices + self.offset) // self.views_per_model
+        gt_idx = self.orig_idx[indices] // self.views_per_model
         gt = self.complete[gt_idx].astype(np.float32)
         if self.split == "train" and self.scale_aug:
             rng = rng or np.random.default_rng()
@@ -491,8 +516,8 @@ class MVPCompletionDataset:
         indices = np.asarray(indices)
         v = self.views_per_model
         n = len(self.partial)
-        all_models = (np.arange(n) + self.offset) // v
-        models = (indices + self.offset) // v
+        all_models = self.orig_idx // v
+        models = self.orig_idx[indices] // v
         pos_idx = np.empty_like(indices)
         neg_idx = np.empty_like(indices)
         for i, (idx, m) in enumerate(zip(indices, models)):

@@ -32,6 +32,7 @@ from houv_tpu.models.alignment import (
 from houv_tpu.models.embedding import (
     InstanceEmbedding,
     TransformerRegressor,
+    TransformerCompletion,
     PCNTransformer,
     triplet_loss,
 )
@@ -55,7 +56,7 @@ _REGISTRY = {
     # experimental / preprocessing models
     "alignment_spconv": AlignmentClassifier,   # registration/models/spconv.py
     "voxel_asym": VoxAsym,                     # completion cfgs/spconv.yaml
-    "transformer": TransformerRegressor,       # completion/models/transformer.py
+    "transformer": TransformerCompletion,      # completion/models/transformer.py
     "model_embedding": InstanceEmbedding,      # completion/models/model_embedding.py
 }
 

@@ -107,7 +107,8 @@ class VoxAsym(nn.Module):
     @nn.compact
     def __call__(self, points: Array, coords: Array, train: bool = False):
         """points (B, N, 3), coords (B, N, 3) int voxel indices ->
-        (probs (B, V, 2), positions (B, V, 3), mask (B, V))."""
+        (probs (B, V, 2), positions (B, V, 3), voxel_coords (B, V, 3),
+        mask (B, V))."""
         pt_fea = PointMLP((64, self.embedding_dim), relu_last=True)(points)
         sg = from_point_voxels(coords, pt_fea, self.grid_size)
         lk = build_lookup(sg)
@@ -116,4 +117,4 @@ class VoxAsym(nn.Module):
         pred = nn.Dense(5)(h.features)  # 2 class logits + 3 position dims
         probs = jax.nn.softmax(pred[..., :2], axis=-1)
         pos = pred[..., 2:]
-        return probs, pos, h.mask
+        return probs, pos, h.coords, h.mask

@@ -224,7 +224,7 @@ def get_uniform_loss(
     """Uniformity loss over FPS-seeded ball neighborhoods
     (reference completion/model_utils.py:216-243)."""
     b, n, _ = pcd.shape
-    npoint = int(n * 0.05)
+    npoint = max(int(n * 0.05), 1)  # tiny clouds: keep >=1 FPS seed
     loss = 0.0
     for p in percentages:
         nsample = max(int(n * p), 2)

@@ -95,6 +95,39 @@ class TransformerRegressor(nn.Module):
         return nn.Dense(3)(nn.relu(nn.Dense(128)(h)))
 
 
+class TransformerCompletion(nn.Module):
+    """TransformerRegressor under the completion-model contract (reference
+    completion/models/transformer.py Model:207-235: train loss =
+    cd_p + 0.02·cd_t; val returns cd_p/cd_t/f1; test returns result)."""
+
+    num_points: int = 2048
+    num_latent: int = 256
+    eval_emd: bool = False
+    train_loss: str = "cd"  # reference supports cd only here
+
+    @nn.compact
+    def __call__(self, x: Array, gt: Array | None = None,
+                 prefix: str = "train", alpha: float | None = None):
+        from houv_tpu.metrics.cd import calc_cd
+
+        out = TransformerRegressor(
+            num_latent=self.num_latent, num_out=self.num_points
+        )(x)
+        if prefix == "train":
+            cd_p, cd_t = calc_cd(out, gt)
+            total = cd_p.mean() + cd_t.mean() * 0.02
+            return {"out2": out, "loss2": cd_t, "total_loss": total}
+        if prefix == "val":
+            cd_p, cd_t, f1 = calc_cd(out, gt, calc_f1=True)
+            res = {"out2": out, "cd_p": cd_p, "cd_t": cd_t, "f1": f1}
+            if self.eval_emd:
+                from houv_tpu.metrics.emd import calc_emd
+
+                res["emd"] = calc_emd(out, gt, eps=0.004, iterations=3000)
+            return res
+        return {"result": out}
+
+
 class PCNTransformer(nn.Module):
     """PCN encoder + attention refinement head
     (registration/models/pcn.py PCN_Transformer :31-52)."""

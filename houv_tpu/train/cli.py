@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from houv_tpu.data import (
+    ModelNetDataset,
     MVPCompletionDataset,
     MVPRegistrationDataset,
     synthesize_completion_set,
+    synthesize_modelnet_set,
     synthesize_registration_pairs,
 )
 from houv_tpu.train.config import Config, load_config
@@ -41,7 +43,26 @@ def is_registration(cfg: Config) -> bool:
 
 def build_dataset(cfg: Config, split: str, index_range=None):
     registration = is_registration(cfg)
-    if cfg.data_path and os.path.exists(cfg.data_path):
+    have_file = cfg.data_path and os.path.exists(cfg.data_path)
+    if cfg.dataset == "modelnet":
+        # reference registration/dataset.py:154-187 ModelNet variants
+        if have_file:
+            return ModelNetDataset(
+                split, variant=cfg.variant, path=cfg.data_path,
+                max_angle_deg=cfg.max_angle, max_trans=cfg.max_trans,
+                index_range=index_range,
+            )
+        data = synthesize_modelnet_set(
+            64 if split != "train" else 128, n_points=cfg.num_points,
+            seed=2021 if split == "train" else 7,
+        )
+        return ModelNetDataset(
+            split, variant=cfg.variant, data=data,
+            max_angle_deg=cfg.max_angle, max_trans=cfg.max_trans,
+            index_range=index_range,
+        )
+    with_voxels = cfg.model_name == "vrcnet_knn"
+    if have_file:
         if registration:
             return MVPRegistrationDataset(
                 split, path=cfg.data_path, max_angle_deg=cfg.max_angle,
@@ -50,8 +71,8 @@ def build_dataset(cfg: Config, split: str, index_range=None):
             )
         return MVPCompletionDataset(
             split, path=cfg.data_path, scale_aug=cfg.scale_aug,
-            index_range=index_range,
-            with_voxels=(cfg.model_name == "vrcnet_knn"),
+            index_range=index_range, category=cfg.category,
+            with_voxels=with_voxels, grid_size=cfg.grid_size,
         )
     # Synthetic fallback (the large MVP .h5 files are not distributed).
     n = 64 if split != "train" else 128
@@ -70,15 +91,37 @@ def build_dataset(cfg: Config, split: str, index_range=None):
     )
     return MVPCompletionDataset(
         split, data=data, views_per_model=8, scale_aug=cfg.scale_aug,
-        index_range=index_range,
-        with_voxels=(cfg.model_name == "vrcnet_knn"),
+        index_range=index_range, with_voxels=with_voxels,
+        grid_size=cfg.grid_size,
     )
 
 
-def make_trainer(cfg: Config):
+def make_trainer(cfg: Config, mesh=None):
+    """Trainer for the config's model. When no mesh is passed, CLI training
+    is data-parallel over all local devices (the DataParallel analogue) —
+    provided the batch divides the device count."""
+    from houv_tpu.train.aux import (
+        AlignmentTrainer,
+        EmbeddingTrainer,
+        VoxelOccupancyTrainer,
+    )
+
+    if mesh is None:
+        n_dev = cfg.n_devices or len(jax.devices())
+        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+            from houv_tpu.parallel import make_mesh
+
+            mesh = make_mesh(n_dev)
+    aux = {
+        "model_embedding": EmbeddingTrainer,
+        "alignment_spconv": AlignmentTrainer,
+        "voxel_asym": VoxelOccupancyTrainer,
+    }
+    if cfg.model_name in aux:
+        return aux[cfg.model_name](cfg, mesh=mesh)
     if is_registration(cfg):
-        return RegistrationTrainer(cfg)
-    return CompletionTrainer(cfg)
+        return RegistrationTrainer(cfg, mesh=mesh)
+    return CompletionTrainer(cfg, mesh=mesh)
 
 
 def houv_eval_main(cfg: Config, log) -> dict:
@@ -268,39 +311,65 @@ def test_main(argv=None):
     if args.combine:
         return combine_main(cfg, log)
 
+    if cfg.model_name in ("model_embedding", "alignment_spconv",
+                          "voxel_asym"):
+        # experimental models: "test" = their val metrics (the reference's
+        # train_model.py / train_one_gpu_v2.py evaluate in-loop; there is
+        # no submission artifact for these)
+        trainer = make_trainer(cfg)
+        val_ds = build_dataset(cfg, "val")
+        wrapped = trainer.wrap_dataset(val_ds)
+        first = wrapped.get_batch(
+            np.arange(min(cfg.batch_size, len(wrapped)))
+        )
+        trainer.init_state(first)
+        metrics = trainer.validate(val_ds)
+        log.info("aux test metrics: %s", metrics)
+        return metrics
+
     index_range = (args.l, args.r) if args.l is not None else None
     ds = build_dataset(cfg, "test", index_range=index_range)
 
     if cfg.model_name == "houv":
         from houv_tpu.parallel import make_mesh, sharded_houv_solve
         from houv_tpu.solvers import HOUVConfig
+        from houv_tpu.solvers.houv import houv_solve_chunked
 
         mesh = make_mesh(cfg.n_devices)
         n_dev = mesh.devices.size
-        n = (len(ds) // n_dev) * n_dev
-        batch = ds.get_batch(np.arange(n))
         scfg = HOUVConfig(
             kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
             retry_threshold=cfg.retry_threshold,
             angle_passes=cfg.angle_passes,
         )
         key = jax.random.PRNGKey(cfg.manual_seed or 2021)
-        if n_dev == 1:
-            # single chip: bounded dispatches (long single XLA programs can
-            # trip remote-runtime watchdogs)
-            from houv_tpu.solvers.houv import houv_solve_chunked
-
-            out = houv_solve_chunked(
-                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
-                key, scfg,
-            )
-        else:
-            out = sharded_houv_solve(
-                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
-                key, mesh, scfg,
-            )
-        results = np.asarray(out["transform"])
-        log.info("solved %d pairs, %d retries", n, int(out["n_retry"]))
+        # Chunk pairs by batch_size: kernel-way restart expansion makes the
+        # per-pair footprint kernel*N points — the whole 2000-pair split in
+        # one device batch would OOM (reference solves batch_size=100 at a
+        # time too, registration/test_mult.py:39, cfgs/houv.yaml).
+        bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
+        chunks = []
+        n_retry = 0
+        n = len(ds)
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n))
+            pad = bs - len(idx)  # keep jit shapes static on the tail
+            batch = ds.get_batch(np.resize(idx, bs))
+            src = jnp.asarray(batch["src"])
+            tgt = jnp.asarray(batch["tgt"])
+            ckey = jax.random.fold_in(key, start)
+            if n_dev == 1:
+                # single chip: bounded dispatches (long single XLA programs
+                # can trip remote-runtime watchdogs)
+                out = houv_solve_chunked(src, tgt, ckey, scfg)
+            else:
+                out = sharded_houv_solve(src, tgt, ckey, mesh, scfg)
+            tf = np.asarray(out["transform"])
+            chunks.append(tf[: bs - pad] if pad else tf)
+            n_retry += int(out["n_retry"])
+            log.info("solved pairs [%d, %d)/%d", start, start + len(idx), n)
+        results = np.concatenate(chunks, axis=0)
+        log.info("solved %d pairs, %d retries", n, n_retry)
     else:
         trainer = make_trainer(cfg)
         first = ds.get_batch(np.arange(min(cfg.batch_size, len(ds))))

@@ -65,6 +65,12 @@ class Config:
     # loss / eval
     loss: str = "cd"
     eval_emd: bool = False
+    # cascade-GAN branch of completion/train.py:63-170 (LSGAN critic on the
+    # fine output; generator loss = adversarial + gan_weight * completion)
+    use_gan: bool = False
+    gan_weight: float = 200.0
+    # ModelNet variant (dataset: modelnet): clean | noisy | unseen | icl_nuim
+    variant: str = "clean"
     step_interval_to_print: int = 500
     epoch_interval_to_save: int = 1
     epoch_interval_to_val: int = 1
@@ -82,6 +88,8 @@ class Config:
     num_native: int = 2048
     feature_size: int = 2048
     distribution_loss: str = "KLD"
+    grid_size: int = 50              # voxel branch grid (50³, dataset.py:264)
+    voxel_init_size: int = 128       # Asymm3DSpconv init channel width
     use_rri: bool = True
     rri_size: int = 20
     num_groups: int = 16

@@ -74,8 +74,9 @@ def test_vox_asym_shapes(rng):
     coords = voxel_grid_indices(pts, grid_size=16)
     model = VoxAsym(grid_size=16, embedding_dim=16, init_size=8)
     params = model.init(jax.random.PRNGKey(0), pts, coords)
-    probs, pos, mask = model.apply(params, pts, coords)
+    probs, pos, vox_coords, mask = model.apply(params, pts, coords)
     assert probs.shape == (2, 128, 2)
+    assert vox_coords.shape == (2, 128, 3)
     np.testing.assert_allclose(np.asarray(probs.sum(-1))[np.asarray(mask)],
                                1.0, rtol=1e-5)
     assert pos.shape == (2, 128, 3)

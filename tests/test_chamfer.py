@@ -119,3 +119,38 @@ def test_identical_clouds_zero(rng):
     d1, d2, i1, i2 = chamfer_reference(a, a)
     np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.arange(100)[None])
+
+
+@pytest.mark.parametrize("n,m", [(256, 256), (300, 200), (2048, 2048)])
+def test_fused_both_directions_interpret(rng, n, m):
+    """The fused dual-direction packed-index kernel returns the same
+    argmins as the dense reference (up to genuinely equidistant ties)."""
+    from houv_tpu.ops.chamfer import chamfer_indices
+
+    a = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, m, 3)).astype(np.float32))
+    i1, i2 = chamfer_indices(a, b, use_pallas=True, interpret=True)
+    d1r, d2r, i1r, i2r = chamfer_reference(a, b)
+    assert i1.shape == (2, n) and i2.shape == (2, m)
+    # compare via distances: packed selection may differ only on ties within
+    # the 2^-12 quantization window
+    d1 = jnp.sum((a - jnp.take_along_axis(b, i1[..., None], 1)) ** 2, -1)
+    d2 = jnp.sum((b - jnp.take_along_axis(a, i2[..., None], 1)) ** 2, -1)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r),
+                               rtol=5e-4, atol=1e-6)
+    # overwhelming index agreement (ties are rare in random data)
+    assert (np.asarray(i1) == np.asarray(i1r)).mean() > 0.999
+    assert (np.asarray(i2) == np.asarray(i2r)).mean() > 0.999
+
+
+def test_fused_indices_cpu_fallback(rng):
+    from houv_tpu.ops.chamfer import chamfer_indices
+
+    a = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 96, 3)).astype(np.float32))
+    i1, i2 = chamfer_indices(a, b, use_pallas=False)
+    _, _, i1r, i2r = chamfer_reference(a, b)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1r))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2r))
