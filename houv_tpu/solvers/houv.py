@@ -210,7 +210,7 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
     argmin at the current (R, T); reference autograd likewise treats the
     argmin as piecewise-constant.
     """
-    from houv_tpu.ops.chamfer import chamfer_indices
+    from houv_tpu.ops.chamfer import _use_pallas, chamfer_indices
 
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
                          cfg.rotation_mode)
@@ -219,27 +219,33 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
     m = tgt.shape[1]
     src_t = _apply(src, r, t)                       # (B, K, N, 3)
     flat_src_t = src_t.reshape(bsz * kernel, n, 3)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
+    # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
+    # (An in-kernel one-hot-matmul gather variant was measured SLOWER than
+    # XLA's row gathers here — transposed one-hot contractions relayout;
+    # see BENCH_NOTES.md r2.)
     tgt_r = jnp.broadcast_to(
         tgt[:, None], (bsz, kernel, m, 3)
     ).reshape(bsz * kernel, m, 3)
-    # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
-    # per-tgt-point (nearest src index i1), d2 per-src-point (index i2).
-    i1, i2 = chamfer_indices(tgt_r, flat_src_t, cfg.use_pallas)
+    i1, i2 = chamfer_indices(tgt_r, flat_src_t, use_pallas)
     i1 = jax.lax.stop_gradient(i1)                  # (B·K, M) -> src rows
     i2 = jax.lax.stop_gradient(i2)                  # (B·K, N) -> tgt rows
+    tg = jax.lax.stop_gradient(
+        jnp.take_along_axis(tgt_r, i2[..., None], axis=1)
+    )                                               # (B·K, N, 3)
+    src_rep = jnp.broadcast_to(src[:, None], (bsz, kernel, n, 3))
+    s_sel = jax.lax.stop_gradient(jnp.take_along_axis(
+        src_rep.reshape(bsz * kernel, n, 3), i1[..., None], axis=1,
+    )).reshape(bsz, kernel, m, 3)
 
     # d2: differentiable through src_t only; matched tgt points constant.
-    tg = jnp.take_along_axis(tgt_r, i2[..., None], axis=1)  # (B·K, N, 3)
-    d2 = jnp.sum((flat_src_t - jax.lax.stop_gradient(tg)) ** 2, axis=-1)
+    d2 = jnp.sum((flat_src_t - tg) ** 2, axis=-1)
 
-    # d1: gather RAW src rows, then re-apply (R, T) — the gradient to the
-    # transform is an einsum transpose instead of a scatter.
-    src_rep = jnp.broadcast_to(src[:, None], (bsz, kernel, n, 3))
-    s_sel = jnp.take_along_axis(
-        src_rep.reshape(bsz * kernel, n, 3),
-        i1[..., None], axis=1,
-    )                                               # (B·K, M, 3)
-    s_sel = jax.lax.stop_gradient(s_sel).reshape(bsz, kernel, m, 3)
+    # d1: RAW matched src rows re-transformed — the gradient to (R, T) is
+    # an einsum transpose instead of a scatter.
     matched_t = jnp.einsum(
         "bkmc,bkdc->bkmd", s_sel, r,
         precision=jax.lax.Precision.HIGHEST,
