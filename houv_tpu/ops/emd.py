@@ -110,6 +110,13 @@ def _auction_single(x1: Array, x2: Array, eps: float, iters: int):
 def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int):
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
+    if jax.default_backend() == "tpu" and x1.shape[1] == x2.shape[1]:
+        # single-kernel auction: whole while_loop in VMEM (ops/emd_kernel.py)
+        # — 17.5 ms per 8×2048-pt batch at train settings vs 8.9 s for the
+        # per-round XLA chain below (BENCH_NOTES.md r2)
+        from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+        return emd_auction_pallas(x1, x2, eps, iters)
     return jax.vmap(lambda a, b: _auction_single(a, b, eps, iters))(x1, x2)
 
 

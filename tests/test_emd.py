@@ -82,3 +82,39 @@ def test_gradient_only_to_x1(rng):
     matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
     expected = 2.0 * (x1 - matched) / 32.0
     np.testing.assert_allclose(np.asarray(g1), np.asarray(expected), rtol=1e-4)
+
+
+def test_pallas_kernel_matches_dense_auction(rng):
+    """The single-kernel auction (interpret mode) agrees with the dense
+    per-round implementation: near-bijective assignment, close mean cost."""
+    import jax.numpy as jnp
+
+    from houv_tpu.ops.emd import emd_auction
+    from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+    x1 = jnp.asarray(rng.uniform(0, 1, (2, 256, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(0, 1, (2, 256, 3)).astype(np.float32))
+    d_new, a_new = emd_auction_pallas(x1, x2, 0.005, 80, interpret=True)
+    d_old, a_old = emd_auction(x1, x2, 0.005, 80)
+    assert abs(float(d_new.mean()) - float(d_old.mean())) \
+        / float(d_old.mean()) < 0.15
+    for b in range(2):
+        assert len(np.unique(np.asarray(a_new[b]))) > 0.93 * 256
+    # each selected distance must be the true pair distance
+    diff = x1 - jnp.take_along_axis(x2, a_new[..., None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray((diff ** 2).sum(-1)), np.asarray(d_new), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_pallas_kernel_identity_assignment(rng):
+    """Identical clouds: the auction finds the zero-cost perfect matching."""
+    import jax.numpy as jnp
+
+    from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 3)).astype(np.float32))
+    perm = rng.permutation(128)
+    d, a = emd_auction_pallas(x, x[:, perm], 0.002, 500, interpret=True)
+    assert float(d.mean()) < 1e-4
