@@ -34,7 +34,7 @@ from houv_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp"}
+REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp", "fgr"}
 
 
 def is_registration(cfg: Config) -> bool:
@@ -193,8 +193,9 @@ def icp_eval_main(cfg: Config, log) -> dict:
     """Batched ICP / multistart-ICP baseline evaluation (reference
     registration/train_ICP.py:104-210 per-pair Open3D loop and
     test_goicp.py's Go-ICP sweep — both replaced by on-device batched
-    solves; 'goicp' selects the multistart global search)."""
-    from houv_tpu.solvers import icp_solve
+    solves; 'goicp' selects the multistart global search; 'fgr' the
+    FPFH-feature Fast Global Registration, train_ICP.py:156-185)."""
+    from houv_tpu.solvers import fgr_solve, icp_solve
     from houv_tpu.solvers.houv import evaluate_solution
     from houv_tpu.solvers.icp import icp_solve_multistart
     from houv_tpu.utils.meters import AverageValueMeter
@@ -206,7 +207,9 @@ def icp_eval_main(cfg: Config, log) -> dict:
         batch = ds.get_batch(np.arange(start, start + bs))
         src = jnp.asarray(batch["src"])
         tgt = jnp.asarray(batch["tgt"])
-        if cfg.model_name == "goicp":
+        if cfg.model_name == "fgr":
+            out = fgr_solve(src, tgt, iters=max(cfg.num_iters, 48))
+        elif cfg.model_name == "goicp":
             out = icp_solve_multistart(
                 src, tgt, jax.random.PRNGKey(start),
                 n_restarts=cfg.kernel, threshold=0.1, max_iters=cfg.num_iters,
@@ -233,7 +236,7 @@ def train_main(argv=None):
         setup_logging(os.path.join(cfg.work_dir, "houv"))
         log = logging.getLogger("houv_tpu")
         return houv_eval_main(cfg, log)
-    if cfg.model_name in ("icp", "goicp"):
+    if cfg.model_name in ("icp", "goicp", "fgr"):
         setup_logging(os.path.join(cfg.work_dir, cfg.model_name))
         log = logging.getLogger("houv_tpu")
         return icp_eval_main(cfg, log)

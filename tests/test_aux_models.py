@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from houv_tpu.data import ModelNetDataset
 from houv_tpu.models import (
@@ -36,6 +37,7 @@ def test_make_aligned_pairs_semantics(rng):
     assert r_err_f >= 5.0 - 1e-3
 
 
+@pytest.mark.slow
 def test_alignment_classifier_separates(rng):
     """After a few steps the classifier must score aligned pairs above
     misaligned ones."""

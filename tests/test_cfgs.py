@@ -28,7 +28,8 @@ CFGS = sorted(glob.glob(os.path.join(CFG_DIR, "*.yaml")))
 # configs whose models are compile-heavy even at tiny shapes (CPU): they run
 # in the slow tier so the default suite keeps every OTHER config guarded
 _SLOW = {"vrcnet_knn.yaml", "vrcnet.yaml", "ecg.yaml", "dcp.yaml",
-         "deepgmr.yaml", "idam.yaml", "modelnet.yaml"}
+         "deepgmr.yaml", "idam.yaml", "modelnet.yaml", "spconv.yaml",
+         "alignment.yaml", "houv.yaml", "pcn.yaml", "transformer.yaml"}
 
 
 def _shrink(cfg, tmp_path):
@@ -79,7 +80,7 @@ def test_config_end_to_end(cfg_path, tmp_path):
         metrics = houv_eval_main(cfg, log)
         assert np.isfinite(metrics["RotE"])
         return
-    if cfg.model_name in ("icp", "goicp"):
+    if cfg.model_name in ("icp", "goicp", "fgr"):
         metrics = icp_eval_main(cfg, log)
         assert np.isfinite(metrics["RotE"])
         return

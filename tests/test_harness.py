@@ -85,6 +85,7 @@ def test_config_yaml_roundtrip(tmp_path):
     assert cfg.extras["unknown_key"] == 42
 
 
+@pytest.mark.slow
 def test_completion_training_reduces_loss(tmp_path):
     cfg = _cp_cfg(tmp_path)
     trainer = CompletionTrainer(cfg)
@@ -120,6 +121,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_registration_trainer_smoke(tmp_path):
     cfg = Config(model_name="deepgmr", dataset="mvp_rg", num_points=64,
                  batch_size=4, nepoch=1, lr=1e-4, rri_size=6,

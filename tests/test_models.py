@@ -21,6 +21,7 @@ def _clouds(rng, b=2, n=128):
     return jnp.asarray(x), jnp.asarray(gt)
 
 
+@pytest.mark.slow
 def test_pcn_train_val_test(rng):
     x, gt = _clouds(rng, 2, 128)
     model = get_model("pcn", num_points=128, num_coarse=64)
@@ -40,6 +41,7 @@ def test_pcn_train_val_test(rng):
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
 
 
+@pytest.mark.slow
 def test_ecg_forward(rng):
     x, gt = _clouds(rng, 1, 128)
     model = get_model("ecg", num_points=128, num_coarse=64, num_input=128)
@@ -50,6 +52,7 @@ def test_ecg_forward(rng):
     assert test["result"].shape[0] == 1
 
 
+@pytest.mark.slow
 def test_vrcnet_train_and_val(rng):
     x, gt = _clouds(rng, 1, 256)
     model = get_model(
@@ -69,6 +72,7 @@ def test_vrcnet_train_and_val(rng):
     assert val["cd_p"].shape == (1,)
 
 
+@pytest.mark.slow
 def test_vrcnet_knn_with_voxels(rng):
     from houv_tpu.ops.voxel import voxel_grid_indices
 
@@ -182,6 +186,7 @@ def test_rri_rotation_invariance(rng):
     assert np.quantile(dphi, 0.95) < 0.05
 
 
+@pytest.mark.slow
 def test_idam_train_and_infer(rng):
     x, _ = _clouds(rng, 2, 96)
     r = rodrigues(jnp.asarray(np.float32(0.2)), jnp.asarray([0.0, 1.0, 0.0]))

@@ -108,6 +108,7 @@ def test_angle_distribution_matches_numpy(rng):
     assert abs(np.quantile(angles, 0.25) - 15.0) < 5.0
 
 
+@pytest.mark.slow
 def test_fit_steps_with_native_loader(rng, tmp_path):
     """End-to-end: native loader feeding the DeepGMR trainer."""
     from houv_tpu.train import Config

@@ -16,6 +16,7 @@ def test_mesh_has_8_cpu_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_solve_runs_and_matches_quality():
     mesh = make_mesh()
     data = synthesize_registration_pairs(8, n_points=96, max_angle_deg=40.0, seed=11)

