@@ -584,6 +584,21 @@ class MVPCompletionDataset:
         idx = np.floor((clipped - self.min_volume) / interval).astype(np.int32)
         return np.clip(idx, 0, self.grid_size - 1)
 
+    def voxel_point_features(self, clouds: np.ndarray):
+        """Per-point voxel-centered features (reference MVP_CP_voxel_point /
+        Voxel ``point_to_voxel``, completion/dataset.py:147-311): returns
+        (grid_ind (B, N, 3) int32, feats (B, N, 7)) with feats =
+        [1, xyz - voxel_center, xyz] — the PointNet-per-voxel input format.
+        """
+        interval = (self.max_volume - self.min_volume) / (self.grid_size - 1)
+        grid_ind = self._voxel_coords(clouds)
+        centers = (grid_ind.astype(np.float32) + 0.5) * interval \
+            + self.min_volume
+        rel = clouds - centers
+        ones = np.ones(clouds.shape[:-1] + (1,), np.float32)
+        feats = np.concatenate([ones, rel, clouds], axis=-1)
+        return grid_ind, feats.astype(np.float32)
+
     def get_batch(self, indices, rng: np.random.Generator | None = None):
         indices = np.asarray(indices)
         partial = self.partial[indices].astype(np.float32)

@@ -16,6 +16,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from houv_tpu.ops.chamfer import pairwise_sqdist
 
@@ -74,12 +76,24 @@ def _knn_kernel(q_ref, rt_ref, idx_ref, *, k: int, n_valid: int,
     )
     if n_valid < np_:
         keys = jnp.where(col < n_valid, keys, neg_inf)
-    cols = []
-    for _ in range(k):
+    # fori_loop (not a python unroll): the body compiles once, keeping the
+    # Mosaic compile time O(1) in k (an unrolled k=16 loop took ~3 min).
+    # Result columns land in a (TILE, k) carry via a lane-mask select
+    # (dynamic lane stores need 128-aligned offsets on TPU).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
+
+    def extract(j, carry):
+        keys, acc = carry
         m = jnp.max(keys, axis=1)                  # (TILE,) packed best
-        cols.append(low - jnp.bitwise_and(m, low))
+        val = low - jnp.bitwise_and(m, low)
+        acc = jnp.where(lane == j, val[:, None], acc)
         keys = jnp.where(keys == m[:, None], neg_inf, keys)
-    idx_ref[0, :, :] = jnp.stack(cols, axis=-1)    # (TILE, k)
+        return keys, acc
+
+    _, acc = jax.lax.fori_loop(
+        0, k, extract, (keys, jnp.zeros((tile, k), jnp.int32))
+    )
+    idx_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
@@ -87,9 +101,6 @@ def knn_indices_pallas(query: Array, ref: Array, k: int, tile: int = 256,
                        interpret: bool = False) -> Array:
     """(B, M, 3) × (B, N, 3) -> (B, M, k) int32 nearest-ref indices,
     ascending by distance (ties: smaller index first)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     bsz, m, _ = query.shape
     n = ref.shape[1]
     lane = 128

@@ -123,3 +123,87 @@ def icp_solve_multistart(
     )[0]
     rm = jnp.take_along_axis(rmses, best[None, :], axis=0)[0]
     return {"transform": tf, "inlier_rmse": rm}
+
+
+def so3_grid(n_axes: int = 26, angles=(45.0, 90.0, 135.0, 180.0)) -> Array:
+    """Deterministic covering of SO(3): the 3x3x3 integer-lattice axes
+    (minus origin, the HOUV initialization lattice) x fixed angle rings +
+    identity -> (n_axes*len(angles)+1, 3, 3) rotations. Max distance to an
+    arbitrary rotation ~<= 30 deg — a branch-and-bound-style systematic
+    coverage (the role of Go-ICP's outer SO(3) search,
+    test_goicp.py:153-177) with a resolution bound instead of random luck.
+    """
+    import numpy as np
+
+    axes = np.array(
+        [
+            (x, y, z)
+            for x in (-1, 0, 1)
+            for y in (-1, 0, 1)
+            for z in (-1, 0, 1)
+            if (x, y, z) != (0, 0, 0)
+        ],
+        np.float32,
+    )[:n_axes]
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    rots = [jnp.eye(3, dtype=jnp.float32)]
+    for ang in angles:
+        a = jnp.asarray(axes)
+        r = rodrigues(
+            jnp.full((len(axes),), jnp.radians(ang), jnp.float32), a
+        )
+        rots.extend(list(r))
+    return jnp.stack(rots)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "chunk", "use_pallas")
+)
+def goicp_solve(
+    src: Array,
+    tgt: Array,
+    *,
+    threshold: float = 0.1,
+    max_iters: int = 40,
+    chunk: int = 5,
+    use_pallas: bool | None = None,
+):
+    """Systematic global ICP (the Go-ICP role): ICP from EVERY rotation of
+    the deterministic SO(3) grid, best inlier-RMSE wins. Unlike random
+    multistart, coverage is guaranteed at the grid resolution (~30 deg) —
+    an ICP basin comfortably wider than that on rigid objects.
+
+    (B, N, 3) x (B, M, 3) -> dict(transform (B, 4, 4), inlier_rmse (B,)).
+    """
+    bsz = src.shape[0]
+    grid = so3_grid()                                   # (G, 3, 3)
+    g = grid.shape[0]
+    pad = (-g) % chunk
+    grid = jnp.concatenate(
+        [grid, jnp.broadcast_to(jnp.eye(3, dtype=grid.dtype),
+                                (pad, 3, 3))], 0
+    ).reshape(-1, chunk, 3, 3)
+
+    def run_chunk(rots):
+        def run(r0):
+            init = rt_to_transformation(
+                jnp.broadcast_to(r0, (bsz, 3, 3)),
+                jnp.zeros((bsz, 3), src.dtype),
+            )
+            out = icp_solve(
+                src, tgt, threshold=threshold, max_iters=max_iters,
+                init_transform=init, use_pallas=use_pallas,
+            )
+            return out["transform"], out["inlier_rmse"]
+
+        return jax.vmap(run)(rots)
+
+    transforms, rmses = jax.lax.map(run_chunk, grid)
+    transforms = transforms.reshape(-1, bsz, 4, 4)
+    rmses = rmses.reshape(-1, bsz)
+    best = jnp.argmin(rmses, axis=0)
+    tf = jnp.take_along_axis(
+        transforms, best[None, :, None, None], axis=0
+    )[0]
+    rm = jnp.take_along_axis(rmses, best[None, :], axis=0)[0]
+    return {"transform": tf, "inlier_rmse": rm}

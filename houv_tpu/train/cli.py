@@ -210,9 +210,10 @@ def icp_eval_main(cfg: Config, log) -> dict:
         if cfg.model_name == "fgr":
             out = fgr_solve(src, tgt, iters=max(cfg.num_iters, 48))
         elif cfg.model_name == "goicp":
-            out = icp_solve_multistart(
-                src, tgt, jax.random.PRNGKey(start),
-                n_restarts=cfg.kernel, threshold=0.1, max_iters=cfg.num_iters,
+            from houv_tpu.solvers.icp import goicp_solve
+
+            out = goicp_solve(
+                src, tgt, threshold=0.1, max_iters=cfg.num_iters,
             )
         else:
             out = icp_solve(src, tgt, threshold=0.02,

@@ -1,0 +1,61 @@
+"""Full-budget solver quality gate on the MVP-statistics fixture.
+
+Run on real TPU hardware; records the 2x2 (rot_level x match_level) grid.
+The CPU-sized version of this gate is tests/test_quality_gate.py.
+
+Usage: python scripts/quality_gate.py [n_pairs]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from houv_tpu.data import synthesize_registration_pairs
+from houv_tpu.solvers import HOUVConfig
+from houv_tpu.solvers.houv import evaluate_solution, houv_solve_chunked
+from houv_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    data = synthesize_registration_pairs(
+        n, n_points=2048, max_angle_deg=90.0, max_trans=0.5, seed=11,
+        shape_mode="structured", rot_mix=True,
+    )
+    cfg = HOUVConfig(kernel=64, steps=500, angle_passes=4,
+                     retry_threshold=0.030)
+    t0 = time.perf_counter()
+    out = houv_solve_chunked(
+        jnp.asarray(data["rotated_src"]), jnp.asarray(data["rotated_tgt"]),
+        jax.random.PRNGKey(3), cfg,
+    )
+    r_err, t_err = evaluate_solution(
+        out["transform"], jnp.asarray(data["transforms"])
+    )
+    r = np.asarray(r_err)
+    t = np.asarray(t_err)
+    print(f"wall {time.perf_counter() - t0:.0f}s  "
+          f"retries {int(out['n_retry'])}")
+    print(f"rot: median {np.median(r):.2f}  mean {r.mean():.2f}  "
+          f"recall<5° {np.mean(r < 5) * 100:.0f}%  "
+          f"<10° {np.mean(r < 10) * 100:.0f}%")
+    print(f"trans: median {np.median(t):.4f}  mean {t.mean():.4f}")
+    rl, ml = data["rot_level"], data["match_level"]
+    for i in range(2):
+        for j in range(2):
+            sel = (rl == i) & (ml == j)
+            if sel.sum():
+                print(f"  rot{i}/match{j}: n={sel.sum():2d}  "
+                      f"rot_med={np.median(r[sel]):6.2f}  "
+                      f"trans_med={np.median(t[sel]):.4f}")
+
+
+if __name__ == "__main__":
+    main()

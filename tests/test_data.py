@@ -119,3 +119,23 @@ def test_synthetic_partial_views_overlap():
             data["src"][i][:, None] - data["tgt"][(i + 1) % 3][None], axis=-1
         ).min(1)
         assert np.median(d) < np.median(dx)
+
+
+def test_voxel_point_features(rng):
+    """MVP_CP_voxel_point / Voxel point_to_voxel format (reference
+    completion/dataset.py:147-311): feats = [1, xyz - voxel_center, xyz]."""
+    from houv_tpu.data import MVPCompletionDataset, synthesize_completion_set
+
+    data = synthesize_completion_set(2, views_per_model=4, n_partial=64,
+                                     n_complete=64, seed=3)
+    ds = MVPCompletionDataset("train", data=data, views_per_model=4,
+                              grid_size=20, scale_aug=False)
+    batch = ds.get_batch(np.arange(4))
+    grid_ind, feats = ds.voxel_point_features(batch["partial"])
+    assert grid_ind.shape == (4, 64, 3) and feats.shape == (4, 64, 7)
+    assert grid_ind.min() >= 0 and grid_ind.max() < 20
+    np.testing.assert_allclose(feats[..., 0], 1.0)
+    np.testing.assert_allclose(feats[..., 4:], batch["partial"], atol=1e-6)
+    # relative offsets are bounded by half a voxel diagonal
+    interval = 1.0 / 19
+    assert np.abs(feats[..., 1:4]).max() <= interval * 0.5 + 1e-5

@@ -181,3 +181,30 @@ def test_houv_chunked_matches_jit(rng):
     np.testing.assert_allclose(np.asarray(b["rmse"]), np.asarray(a["rmse"]),
                                rtol=0.2, atol=5e-3)
     assert abs(float(ra.mean()) - float(rb.mean())) < 10.0
+
+
+@pytest.mark.slow
+def test_goicp_grid_beats_vanilla_on_large_rotation(rng):
+    """The systematic SO(3)-grid global ICP recovers rotations far outside
+    vanilla ICP's basin (the Go-ICP role, reference test_goicp.py)."""
+    from houv_tpu.data import synthesize_registration_pairs
+    from houv_tpu.data.mvp import random_pose_np
+    from houv_tpu.solvers.houv import evaluate_solution
+    from houv_tpu.solvers.icp import goicp_solve, icp_solve
+
+    data = synthesize_registration_pairs(3, n_points=192, seed=5,
+                                         shape_mode="structured")
+    src = jnp.asarray(data["src"])
+    poses = np.stack(
+        [random_pose_np(rng, np.pi, 0.2, min_angle=np.radians(120.0))
+         for _ in range(3)]
+    ).astype(np.float32)
+    tgt = jnp.einsum("bij,bnj->bni", jnp.asarray(poses[:, :3, :3]), src) \
+        + jnp.asarray(poses[:, None, :3, 3])
+    out_g = goicp_solve(src, tgt, max_iters=25, use_pallas=False)
+    out_v = icp_solve(src, tgt, threshold=0.1, max_iters=60,
+                      use_pallas=False)
+    r_g, _ = evaluate_solution(out_g["transform"], jnp.asarray(poses))
+    r_v, _ = evaluate_solution(out_v["transform"], jnp.asarray(poses))
+    assert float(jnp.median(jnp.asarray(r_g))) < 10.0
+    assert float(jnp.mean(r_g)) < float(jnp.mean(r_v))
