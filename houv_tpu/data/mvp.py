@@ -71,6 +71,32 @@ def random_pose_np(rng: np.random.Generator, max_angle: float, max_trans: float,
     return pose
 
 
+def random_poses_np(rng: np.random.Generator, n: int, max_angle: float,
+                    max_trans: float, min_angle: float = 0.0) -> np.ndarray:
+    """Vectorized ``random_pose_np``: (n, 4, 4) in one shot — the data
+    layer's batch path (the reference synthesizes poses one sample at a
+    time in __getitem__; per-sample numpy loops become the host bottleneck
+    for data-parallel training)."""
+    axis = rng.standard_normal((n, 3))
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    angle = min_angle + rng.random(n) * (max_angle - min_angle)
+    x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+    zeros = np.zeros(n)
+    a = np.stack(
+        [zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=1
+    ).reshape(n, 3, 3)
+    eye = np.broadcast_to(np.eye(3), (n, 3, 3))
+    r = eye + np.sin(angle)[:, None, None] * a \
+        + (1 - np.cos(angle))[:, None, None] * (a @ a)
+    t = rng.standard_normal((n, 3))
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    t *= (rng.random(n) * max_trans)[:, None]
+    pose = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
+    pose[:, :3, :3] = r
+    pose[:, :3, 3] = t
+    return pose
+
+
 def jitter_pcd(rng: np.random.Generator, pcd: np.ndarray, sigma: float = 0.01,
                clip: float = 0.05) -> np.ndarray:
     """Gaussian jitter with clipping (reference dataset.py:11-13)."""
@@ -422,15 +448,19 @@ class MVPRegistrationDataset:
         if self.split == "train":
             rng = rng or np.random.default_rng()
             max_angle = np.radians(self.max_angle_deg)
-            transforms = np.empty((len(src), 4, 4), np.float32)
-            for i in range(len(src)):
-                transform = random_pose_np(rng, max_angle, self.max_trans / 2)
-                pose1 = random_pose_np(rng, np.pi, self.max_trans)
-                pose2 = transform @ pose1
-                src[i] = src[i] @ pose1[:3, :3].T + pose1[:3, 3]
-                tgt[i] = tgt[i] @ pose2[:3, :3].T + pose2[:3, 3]
-                transforms[i] = transform
-            batch = {"src": src, "tgt": tgt, "transform": transforms}
+            b = len(src)
+            transforms = random_poses_np(
+                rng, b, max_angle, self.max_trans / 2
+            ).astype(np.float32)
+            pose1 = random_poses_np(rng, b, np.pi, self.max_trans)
+            pose2 = transforms @ pose1.astype(np.float32)
+            src = np.einsum("bij,bnj->bni", pose1[:, :3, :3], src) \
+                + pose1[:, None, :3, 3]
+            tgt = np.einsum("bij,bnj->bni", pose2[:, :3, :3], tgt) \
+                + pose2[:, None, :3, 3]
+            batch = {"src": src.astype(np.float32),
+                     "tgt": tgt.astype(np.float32),
+                     "transform": transforms}
         elif self.split == "val":
             batch = {
                 "src": src,
@@ -514,12 +544,12 @@ class ModelNetDataset:
         rng = rng or np.random.default_rng()
         src = self.points[np.asarray(indices)].copy()
         max_angle = np.radians(self.max_angle_deg)
-        tgt = np.empty_like(src)
-        transforms = np.empty((len(src), 4, 4), np.float32)
-        for i in range(len(src)):
-            t = random_pose_np(rng, max_angle, self.max_trans)
-            tgt[i] = src[i] @ t[:3, :3].T + t[:3, 3]
-            transforms[i] = t
+        transforms = random_poses_np(
+            rng, len(src), max_angle, self.max_trans
+        ).astype(np.float32)
+        tgt = np.einsum(
+            "bij,bnj->bni", transforms[:, :3, :3], src
+        ).astype(np.float32) + transforms[:, None, :3, 3]
         if self.variant == "noisy":
             src = jitter_pcd(rng, src).astype(np.float32)
             tgt = jitter_pcd(rng, tgt).astype(np.float32)

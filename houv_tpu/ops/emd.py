@@ -36,8 +36,10 @@ from houv_tpu.ops.chamfer import pairwise_sqdist
 
 Array = jax.Array
 
-_NEG_INF = jnp.float32(-1e30)
-_BIG_INT = jnp.int32(2**30)
+# plain python floats: creating jnp scalars at import time initializes the
+# XLA backend, which breaks jax.distributed.initialize in multi-host jobs
+_NEG_INF = -1e30
+_BIG_INT = 2**30
 
 
 def _auction_single(x1: Array, x2: Array, eps: float, iters: int):

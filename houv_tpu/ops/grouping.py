@@ -152,8 +152,11 @@ def knn_points(query: Array, ref: Array, k: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and query.shape[-1] <= 8 and k <= 64:
-        idx = knn_indices_pallas(query, ref, k)
-        idx = jax.lax.stop_gradient(idx)
+        # stop-grad the INPUTS: pallas_call has no JVP rule, and the
+        # argmin indices are piecewise-constant anyway
+        idx = knn_indices_pallas(
+            jax.lax.stop_gradient(query), jax.lax.stop_gradient(ref), k
+        )
         nb = jax.vmap(lambda r, i: r[i])(ref, idx)  # (B, M, k, 3)
         neg = -jnp.sum((query[:, :, None, :] - nb) ** 2, axis=-1)
         return neg, idx

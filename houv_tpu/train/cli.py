@@ -246,6 +246,21 @@ def train_main(argv=None):
     logging.getLogger("houv_tpu").info("config: %s", cfg)
     train_ds = build_dataset(cfg, "train")
     val_ds = build_dataset(cfg, "val")
+    if cfg.use_native_loader and is_registration(cfg):
+        # C++ prefetching loader (pose synthesis in a native thread pool),
+        # step-based training (reference epochs ~ len/batch_size steps)
+        from houv_tpu.data.native_loader import NativeRegistrationLoader
+
+        loader = NativeRegistrationLoader(
+            train_ds.src, train_ds.tgt, cfg.batch_size,
+            max_angle_deg=cfg.max_angle, max_trans=cfg.max_trans,
+            seed=cfg.manual_seed or 2021,
+        )
+        epoch_len = max(len(train_ds) // cfg.batch_size, 1)
+        n_steps = cfg.native_steps or cfg.nepoch * epoch_len
+        return trainer.fit_steps(
+            loader, n_steps, epoch_len=epoch_len, val_ds=val_ds
+        )
     trainer.fit(train_ds, val_ds)
 
 

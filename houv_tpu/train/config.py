@@ -71,6 +71,10 @@ class Config:
     gan_weight: float = 200.0
     # ModelNet variant (dataset: modelnet): clean | noisy | unseen | icl_nuim
     variant: str = "clean"
+    # Native C++ prefetching loader (native/houv_loader.cpp) for learned
+    # registration training: pose synthesis off the Python hot path.
+    use_native_loader: bool = False
+    native_steps: int = 0            # >0: step-based fit via fit_steps
     step_interval_to_print: int = 500
     epoch_interval_to_save: int = 1
     epoch_interval_to_val: int = 1
