@@ -1,5 +1,11 @@
-from houv_tpu.ops.chamfer import chamfer, chamfer_reference, pairwise_sqdist
+from houv_tpu.ops.chamfer import (
+    chamfer,
+    chamfer_indices,
+    chamfer_reference,
+    pairwise_sqdist,
+)
 from houv_tpu.ops.emd import emd_auction
+from houv_tpu.ops.emd_kernel import emd_auction_pallas
 from houv_tpu.ops.sampling import (
     furthest_point_sample,
     furthest_point_sample_with_dist,
@@ -9,6 +15,7 @@ from houv_tpu.ops.grouping import (
     grouping_operation,
     index_points,
     knn,
+    knn_indices_pallas,
     knn_points,
     ball_query,
     query_and_group,
@@ -23,6 +30,8 @@ from houv_tpu.ops.voxel import (
 from houv_tpu.ops.scatter import scatter_add_matmul, gather_rows_matmul
 from houv_tpu.ops.boxes import (
     boxes_iou_bev,
+    boxes_iou_bev_sampled,
+    boxes_overlap_bev,
     nms_bev,
     points_in_boxes,
     assign_score_withk,
@@ -39,15 +48,18 @@ from houv_tpu.ops.sparse_conv import (
 
 __all__ = [
     "chamfer",
+    "chamfer_indices",
     "chamfer_reference",
     "pairwise_sqdist",
     "emd_auction",
+    "emd_auction_pallas",
     "furthest_point_sample",
     "furthest_point_sample_with_dist",
     "gather_points",
     "grouping_operation",
     "index_points",
     "knn",
+    "knn_indices_pallas",
     "knn_points",
     "ball_query",
     "query_and_group",
@@ -61,6 +73,8 @@ __all__ = [
     "scatter_add_matmul",
     "gather_rows_matmul",
     "boxes_iou_bev",
+    "boxes_iou_bev_sampled",
+    "boxes_overlap_bev",
     "nms_bev",
     "points_in_boxes",
     "assign_score_withk",

@@ -8,10 +8,10 @@ MVP workloads themselves never call, kept for drop-in capability):
 - utils/mm3d_pn2/ops/paconv (assign_score_withk).
 
 All batched jnp: boxes are (x, y, z, dx, dy, dz, yaw) (mmdet3d LiDAR
-convention). The CUDA polygon-clipping BEV overlap is replaced by a dense
-point-sampling overlap estimate (exact enough for NMS ordering) — the
-polygon intersection is inherently scalar-branchy and would fight the VPU;
-sampling is embarrassingly vectorizable.
+convention). The CUDA polygon-clipping BEV overlap is reproduced EXACTLY:
+a static-shape Sutherland-Hodgman clip (each step compacts its <=2
+emissions per edge with a cumsum scatter) vmapped over all pairs; a
+sampling-based estimate remains for very large Na x Nb.
 """
 
 from __future__ import annotations
@@ -35,10 +35,92 @@ def _in_rotated_rect(px: Array, py: Array, boxes: Array) -> Array:
     return (jnp.abs(lx) <= dx / 2) & (jnp.abs(ly) <= dy / 2)
 
 
+_MAXV = 16  # quad ∩ quad has ≤ 8 vertices; headroom for intermediates
+
+
+def _rect_corners(box: Array) -> Array:
+    """(7,) box -> (4, 2) CCW BEV corners."""
+    cx, cy, dx, dy, yaw = box[0], box[1], box[3], box[4], box[6]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    lx = jnp.array([0.5, -0.5, -0.5, 0.5]) * dx
+    ly = jnp.array([0.5, 0.5, -0.5, -0.5]) * dy
+    return jnp.stack(
+        [cx + lx * c - ly * s, cy + lx * s + ly * c], axis=-1
+    )
+
+
+def _clip_halfplane(poly: Array, m: Array, p0: Array, p1: Array):
+    """Sutherland-Hodgman step: clip (MAXV, 2) polygon with m valid CCW
+    vertices against the half-plane left of p0->p1. Static shapes: each
+    input edge emits ≤2 output slots, compacted by a cumsum scatter."""
+    idx = jnp.arange(_MAXV)
+    nxt = poly[jnp.mod(idx + 1, jnp.maximum(m, 1))]
+    d = p1 - p0
+
+    def side(v):
+        return d[0] * (v[..., 1] - p0[1]) - d[1] * (v[..., 0] - p0[0])
+
+    s_cur = side(poly)
+    s_nxt = side(nxt)
+    in_cur = s_cur >= 0
+    in_nxt = s_nxt >= 0
+    denom = s_cur - s_nxt
+    t = s_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    inter = poly + t[:, None] * (nxt - poly)
+
+    active = idx < m
+    keep_cur = in_cur & active
+    keep_int = (in_cur != in_nxt) & active
+    # interleave [cur_i, inter_i] and compact order-preservingly
+    verts = jnp.stack([poly, inter], axis=1).reshape(2 * _MAXV, 2)
+    valid = jnp.stack([keep_cur, keep_int], axis=1).reshape(2 * _MAXV)
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid, dest, 2 * _MAXV)
+    out = jnp.zeros((_MAXV, 2), poly.dtype).at[dest].set(verts, mode="drop")
+    return out, jnp.sum(valid.astype(jnp.int32))
+
+
+def _overlap_exact(box_a: Array, box_b: Array) -> Array:
+    """Exact BEV intersection area of two rotated boxes (the computation
+    iou3d_kernel.cu does per thread, vectorized under vmap)."""
+    pa = jnp.zeros((_MAXV, 2))
+    pa = pa.at[:4].set(_rect_corners(box_a))
+    m = jnp.int32(4)
+    cb = _rect_corners(box_b)
+    for e in range(4):
+        pa, m = _clip_halfplane(pa, m, cb[e], cb[(e + 1) % 4])
+    idx = jnp.arange(_MAXV)
+    nxt = pa[jnp.mod(idx + 1, jnp.maximum(m, 1))]
+    cross = pa[:, 0] * nxt[:, 1] - pa[:, 1] * nxt[:, 0]
+    cross = jnp.where(idx < m, cross, 0.0)
+    return jnp.where(m >= 3, 0.5 * jnp.abs(jnp.sum(cross)), 0.0)
+
+
+@jax.jit
+def boxes_overlap_bev(boxes_a: Array, boxes_b: Array) -> Array:
+    """(Na, 7) × (Nb, 7) -> (Na, Nb) EXACT rotated BEV overlap areas
+    (Sutherland-Hodgman polygon clipping, vmapped over all pairs —
+    iou3d_kernel.cu ``boxes_overlap_bev_gpu`` semantics)."""
+    return jax.vmap(
+        lambda a: jax.vmap(lambda b: _overlap_exact(a, b))(boxes_b)
+    )(boxes_a)
+
+
+@jax.jit
+def boxes_iou_bev(boxes_a: Array, boxes_b: Array) -> Array:
+    """(Na, 7) × (Nb, 7) -> (Na, Nb) exact rotated BEV IoU."""
+    inter = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = boxes_a[:, 3] * boxes_a[:, 4]
+    area_b = boxes_b[:, 3] * boxes_b[:, 4]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
 @functools.partial(jax.jit, static_argnames=("samples",))
-def boxes_iou_bev(boxes_a: Array, boxes_b: Array, samples: int = 24) -> Array:
+def boxes_iou_bev_sampled(boxes_a: Array, boxes_b: Array,
+                          samples: int = 24) -> Array:
     """(Na, 7) × (Nb, 7) -> (Na, Nb) rotated BEV IoU (sampling-based
-    overlap; replaces iou3d_kernel.cu's polygon clipping)."""
+    overlap estimate; cheaper than clipping at very large Na×Nb)."""
     area_a = boxes_a[:, 3] * boxes_a[:, 4]
     area_b = boxes_b[:, 3] * boxes_b[:, 4]
 
@@ -61,14 +143,14 @@ def boxes_iou_bev(boxes_a: Array, boxes_b: Array, samples: int = 24) -> Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "samples"))
+@functools.partial(jax.jit, static_argnames=("max_out",))
 def nms_bev(boxes: Array, scores: Array, iou_threshold: float = 0.5,
-            max_out: int = 128, samples: int = 24) -> tuple[Array, Array]:
+            max_out: int = 128) -> tuple[Array, Array]:
     """Greedy rotated-BEV NMS (iou3d.cpp nms_gpu semantics), static shapes.
 
     Returns (indices (max_out,) int32 padded with -1, keep_mask)."""
     n = boxes.shape[0]
-    iou = boxes_iou_bev(boxes, boxes, samples)
+    iou = boxes_iou_bev(boxes, boxes)
 
     def body(i, state):
         keep, alive = state

@@ -172,3 +172,49 @@ def test_cli_combine_idempotent(tmp_path, rng):
     assert os.path.exists(str(tmp_path / "houv" / "manifest.json"))
     # the re-solved middle shard must exist now
     assert os.path.exists(str(tmp_path / "houv" / "results_24_48.h5"))
+
+
+def test_exact_rotated_iou_golden_cases():
+    """Polygon-clipping IoU against analytically known overlaps
+    (iou3d_kernel.cu exact semantics, not the sampling estimate)."""
+    from houv_tpu.ops import boxes_iou_bev, boxes_overlap_bev
+
+    def box(cx, cy, dx, dy, yaw):
+        return [cx, cy, 0.0, dx, dy, 1.0, yaw]
+
+    boxes_a = jnp.asarray([
+        box(0, 0, 2, 2, 0.0),
+        box(0, 0, 2, 2, 0.0),
+        box(0, 0, 2, 2, 0.0),
+        box(0, 0, 2, 2, np.pi / 4),
+    ], jnp.float32)
+    boxes_b = jnp.asarray([
+        box(0, 0, 2, 2, 0.0),       # identical -> IoU 1
+        box(1, 0, 2, 2, 0.0),       # half-shifted -> inter 2, union 6
+        box(5, 5, 2, 2, 0.0),       # disjoint -> 0
+        box(0, 0, 2, 2, 0.0),       # 45° square-on-square: inter = 8(√2-1)
+    ], jnp.float32)
+    ov = np.asarray(boxes_overlap_bev(boxes_a, boxes_b))
+    np.testing.assert_allclose(ov[0, 0], 4.0, rtol=1e-5)
+    np.testing.assert_allclose(ov[1, 1], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(ov[2, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(ov[3, 3], 8 * (np.sqrt(2) - 1), rtol=1e-4)
+    iou = np.asarray(boxes_iou_bev(boxes_a, boxes_b))
+    np.testing.assert_allclose(iou[0, 0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(iou[1, 1], 2.0 / 6.0, rtol=1e-5)
+
+
+def test_exact_iou_matches_sampling_estimate(rng):
+    from houv_tpu.ops import boxes_iou_bev, boxes_iou_bev_sampled
+
+    n = 12
+    boxes = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.zeros(n),
+        rng.uniform(0.5, 3, n), rng.uniform(0.5, 3, n), np.ones(n),
+        rng.uniform(0, np.pi, n),
+    ], axis=1).astype(np.float32)
+    exact = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    approx = np.asarray(boxes_iou_bev_sampled(jnp.asarray(boxes),
+                                              jnp.asarray(boxes), 48))
+    np.testing.assert_allclose(exact, approx, atol=0.05)
+    np.testing.assert_allclose(np.diag(exact), 1.0, rtol=1e-5)
