@@ -131,6 +131,10 @@ class SASKNResEncoder(nn.Module):
     layers: tuple = (2, 2, 2, 2)
     pts_num: tuple = (3072, 1536, 768, 384)
     dropout_rate: float = 0.5
+    # rematerialize the SK-SA units in the backward pass: their (B, N, N)
+    # attention maps are the HBM cap on batch size (B=16 at 2048 pts OOMs
+    # a 16G v5e without this)
+    remat: bool = False
 
     def _knn_idxs(self, pts):
         return [knn_points(pts, pts, k)[1] for k in self.ks]
@@ -147,18 +151,19 @@ class SASKNResEncoder(nn.Module):
                 three_interpolate(jnp.swapaxes(feat, 1, 2), idx, w), 1, 2
             )
 
-        x = SKNResUnit(c1, self.ks, self.layers[0])(
+        unit = nn.remat(SKNResUnit) if self.remat else SKNResUnit
+        x = unit(c1, self.ks, self.layers[0])(
             features, self._knn_idxs(pt1)
         )
         x1 = nn.relu(x)
         x, _, pt2 = edge_preserve_sampling(x1, pt1, self.pts_num[1], self.pk)
-        x = SKNResUnit(c1 * 2, self.ks, self.layers[1])(x, self._knn_idxs(pt2))
+        x = unit(c1 * 2, self.ks, self.layers[1])(x, self._knn_idxs(pt2))
         x2 = nn.relu(x)
         x, _, pt3 = edge_preserve_sampling(x2, pt2, self.pts_num[2], self.pk)
-        x = SKNResUnit(c1 * 4, self.ks, self.layers[2])(x, self._knn_idxs(pt3))
+        x = unit(c1 * 4, self.ks, self.layers[2])(x, self._knn_idxs(pt3))
         x3 = nn.relu(x)
         x, _, pt4 = edge_preserve_sampling(x3, pt3, self.pts_num[3], self.pk)
-        x = SKNResUnit(c1 * 8, self.ks, self.layers[3])(x, self._knn_idxs(pt4))
+        x = unit(c1 * 8, self.ks, self.layers[3])(x, self._knn_idxs(pt4))
         x4 = nn.relu(x)
 
         g = nn.Dense(1024)(x4).max(axis=1)  # (B, 1024)
@@ -227,6 +232,7 @@ class MSAPSKNDecoder(nn.Module):
     pk: int = 10
     points_label: bool = False
     local_folding: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, global_feat: Array, point_input: Array,
@@ -255,7 +261,7 @@ class MSAPSKNDecoder(nn.Module):
         pts_num = (total_pts, total_pts // 2, total_pts // 4, total_pts // 8)
         dense_feat = SASKNResEncoder(
             ks=self.knn_list, pk=self.pk, output_size=256,
-            layers=self.layers, pts_num=pts_num,
+            layers=self.layers, pts_num=pts_num, remat=self.remat,
         )(points, train)
 
         up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))
@@ -323,6 +329,7 @@ class VRCNet(nn.Module):
     pk: int = 10
     points_label: bool = False
     local_folding: bool = False
+    remat: bool = False
     distribution_loss: str = "KLD"
     train_loss: str = "cd"
     eval_emd: bool = False
@@ -339,7 +346,7 @@ class VRCNet(nn.Module):
         decoder = MSAPSKNDecoder(
             self.num_coarse_raw, self.num_fps, self.num_coarse,
             self.num_points, self.layers, self.knn_list, self.pk,
-            self.points_label, self.local_folding,
+            self.points_label, self.local_folding, remat=self.remat,
         )
 
         if prefix == "train":

@@ -40,6 +40,7 @@ class KNNDecoder(nn.Module):
     layers: tuple = (1, 1, 1, 1)
     knn_list: tuple = (16,)
     pk: int = 10
+    remat: bool = False
 
     @nn.compact
     def __call__(self, global_feat: Array, origin_points: Array,
@@ -56,6 +57,7 @@ class KNNDecoder(nn.Module):
                 points.shape[1], points.shape[1] // 2,
                 points.shape[1] // 4, points.shape[1] // 8,
             ),
+            remat=self.remat,
         )(points, train)
 
         fine = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(fine_feat)))
@@ -80,6 +82,7 @@ class VRCNetKNN(nn.Module):
     voxel_grid_size: int = 50
     voxel_init_size: int = 128
     axis_name: str | None = None
+    remat: bool = False  # remat the SA-SKN units (2x batch headroom)
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
@@ -104,7 +107,7 @@ class VRCNetKNN(nn.Module):
 
         coarse, fine, native = KNNDecoder(
             self.num_native, self.num_coarse, self.num_fine,
-            self.layers, self.knn_list, self.pk,
+            self.layers, self.knn_list, self.pk, remat=self.remat,
         )(feat, x, train=(prefix == "train"))
 
         if prefix == "train":

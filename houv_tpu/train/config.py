@@ -92,6 +92,9 @@ class Config:
     num_native: int = 2048
     feature_size: int = 2048
     distribution_loss: str = "KLD"
+    # remat the SA-SKN units (batch headroom; note: changes flax module
+    # paths, so checkpoints are not interchangeable with use_remat=False)
+    use_remat: bool = False
     grid_size: int = 50              # voxel branch grid (50³, dataset.py:264)
     voxel_init_size: int = 128       # Asymm3DSpconv init channel width
     use_rri: bool = True

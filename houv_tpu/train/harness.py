@@ -56,13 +56,15 @@ def model_from_config(cfg: Config):
                   pk=cfg.pk, points_label=cfg.points_label,
                   local_folding=cfg.local_folding,
                   distribution_loss=cfg.distribution_loss,
-                  train_loss=cfg.loss, eval_emd=cfg.eval_emd)
+                  train_loss=cfg.loss, eval_emd=cfg.eval_emd,
+                  remat=cfg.use_remat)
     elif name == "vrcnet_knn":
         kw = dict(num_native=cfg.num_native, num_coarse=cfg.num_coarse,
                   num_fine=cfg.num_fine, feature_size=cfg.feature_size,
                   layers=tuple(cfg.layers), knn_list=tuple(cfg.knn_list),
                   pk=cfg.pk, voxel_grid_size=cfg.grid_size,
-                  voxel_init_size=cfg.voxel_init_size)
+                  voxel_init_size=cfg.voxel_init_size,
+                  remat=cfg.use_remat)
     elif name == "dcp":
         kw = {}
     elif name == "deepgmr":
