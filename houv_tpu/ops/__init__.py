@@ -28,6 +28,7 @@ from houv_tpu.ops.voxel import (
     voxelize_features_mean,
 )
 from houv_tpu.ops.scatter import scatter_add_matmul, gather_rows_matmul
+from houv_tpu.ops.image import roi_align, sigmoid_focal_loss
 from houv_tpu.ops.boxes import (
     boxes_iou_bev,
     boxes_iou_bev_sampled,
@@ -72,6 +73,8 @@ __all__ = [
     "voxelize_features_mean",
     "scatter_add_matmul",
     "gather_rows_matmul",
+    "roi_align",
+    "sigmoid_focal_loss",
     "boxes_iou_bev",
     "boxes_iou_bev_sampled",
     "boxes_overlap_bev",

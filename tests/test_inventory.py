@@ -218,3 +218,41 @@ def test_exact_iou_matches_sampling_estimate(rng):
                                               jnp.asarray(boxes), 48))
     np.testing.assert_allclose(exact, approx, atol=0.05)
     np.testing.assert_allclose(np.diag(exact), 1.0, rtol=1e-5)
+
+
+def test_sigmoid_focal_loss_reduces_to_bce_at_gamma0():
+    """gamma=0, alpha=0.5 -> 0.5 * BCE-with-logits (sanity anchor)."""
+    from houv_tpu.ops import sigmoid_focal_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    targets = jnp.asarray((rng.random((8, 4)) > 0.5).astype(np.float32))
+    fl = sigmoid_focal_loss(logits, targets, gamma=0.0, alpha=0.5,
+                            reduction="none")
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    t = np.asarray(targets)
+    bce = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    np.testing.assert_allclose(np.asarray(fl), 0.5 * bce, rtol=1e-4)
+    # easy examples are down-weighted at gamma 2
+    fl2 = sigmoid_focal_loss(logits, targets, gamma=2.0, reduction="none")
+    hard = np.asarray(fl2)[bce > 1.0].mean()
+    easy = np.asarray(fl2)[bce < 0.3].mean()
+    assert easy < hard
+
+
+def test_roi_align_constant_and_gradient_fields():
+    from houv_tpu.ops import roi_align
+
+    # constant feature map -> every bin equals the constant
+    feat = jnp.full((1, 2, 16, 16), 3.0)
+    rois = jnp.asarray([[0, 2.0, 2.0, 10.0, 10.0]])
+    out = roi_align(feat, rois, output_size=4)
+    assert out.shape == (1, 2, 4, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-6)
+    # linear-in-x field -> bins increase monotonically along x
+    xs = jnp.broadcast_to(jnp.arange(16.0), (16, 16))
+    feat = xs[None, None]
+    out = np.asarray(roi_align(feat, rois, output_size=4))[0, 0]
+    assert (np.diff(out, axis=1) > 0).all()
+    assert np.allclose(np.diff(out, axis=1), np.diff(out, axis=1)[0, 0],
+                       atol=1e-4)
