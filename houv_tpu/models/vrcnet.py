@@ -259,9 +259,11 @@ class MSAPSKNDecoder(nn.Module):
         points = jnp.concatenate([coarse_in, input_in], axis=1)
         total_pts = points.shape[1]
         pts_num = (total_pts, total_pts // 2, total_pts // 4, total_pts // 8)
-        dense_feat = SASKNResEncoder(
+        enc_cls = nn.remat(SASKNResEncoder, static_argnums=(2,)) \
+            if self.remat else SASKNResEncoder
+        dense_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256,
-            layers=self.layers, pts_num=pts_num, remat=self.remat,
+            layers=self.layers, pts_num=pts_num,
         )(points, train)
 
         up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))

@@ -51,13 +51,16 @@ class KNNDecoder(nn.Module):
         coarse = nn.Dense(self.num_coarse * 3)(h).reshape(b, self.num_coarse, 3)
 
         points = jnp.concatenate([coarse, origin_points], axis=1)
-        fine_feat = SASKNResEncoder(
+        # remat the WHOLE encoder: its edge-preserve grouping buffers and
+        # unit activations dominate HBM at larger batches
+        enc_cls = nn.remat(SASKNResEncoder, static_argnums=(2,)) \
+            if self.remat else SASKNResEncoder
+        fine_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256, layers=self.layers,
             pts_num=(
                 points.shape[1], points.shape[1] // 2,
                 points.shape[1] // 4, points.shape[1] // 8,
             ),
-            remat=self.remat,
         )(points, train)
 
         fine = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(fine_feat)))

@@ -9,23 +9,20 @@ gradient flowing only through the matched pairs.
 
 Design (see /opt/skills/guides/pallas_guide.md):
 
-- The O(N·M) part is **argmin only**. A Pallas kernel computes nearest
-  indices from MXU matmul scores: argmin_j ||a_i-b_j||² = argmax_j
-  (2·a_i·b_j - |b_j|²) — the |a_i|² term is constant per row. The
-  (TILE, M) score block lives in VMEM; the (TILE, 3→8) × (8, M) matmul
-  rides the systolic array (the CUDA kernel instead streams 512-point
-  shared-memory tiles through the SMs and recomputes full distances).
-- Distances are then **recomputed exactly** from the selected pairs with a
-  differentiable gather: d1 = ||a - b[i1]||². Autodiff through the gather
-  reproduces NmDistanceGradKernel's semantics exactly (direct term to the
-  query cloud, scatter-add to the matched cloud), so no custom VJP is
-  needed — and the O(N·M) score computation never enters the backward pass.
-- Scores default to bf16 (2× MXU throughput); near-exact ties may pick a
-  different-but-equidistant neighbor, which leaves losses unchanged at
-  float precision. ``exact_scores=True`` forces f32 scoring.
+- The O(N·M) part runs ONCE: ``_nn_both_kernel`` evaluates each exact
+  (TILE, M) f32 distance block in VMEM and reduces it along BOTH axes via
+  the packed score+index trick (monotonic int32 map of -dist, low bits
+  replaced by the complemented index, one int max-reduce per direction
+  yields argmin+value together). Selection precision is 2^-12 relative —
+  only which of two near-equidistant neighbors wins can differ.
+- Distances are then **recomputed exactly** from the selected pairs
+  (O(N) gathers); the custom VJP routes the direct gradient terms
+  elementwise and the cross terms through the MXU scatter kernel —
+  NmDistanceGradKernel's semantics for both directions
+  (the CUDA kernel instead streams 512-point shared-memory tiles and
+  recomputes full distances per direction).
 - ``chamfer_reference`` (dense jnp) is the golden model (mirrors
-  utils/metrics/CD/chamfer_python.py) and the non-TPU fallback;
-  ``_nn_one_way_pallas`` is an exact VPU kernel kept for validation.
+  utils/metrics/CD/chamfer_python.py) and the non-TPU fallback.
 """
 
 from __future__ import annotations
@@ -40,9 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _LANE = 128
-_DEFAULT_TILE = 512
 _BATCH_BLOCK = 8  # sublane granularity for the (B, N) outputs
-_PAD_SENTINEL = 1e9  # padded reference points sit far away; (2e9)² < f32 max
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,263 +62,6 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
     d2 = jnp.min(d, axis=-2)
     i2 = jnp.argmin(d, axis=-2).astype(jnp.int32)
     return d1, d2, i1, i2
-
-
-# ---------------------------------------------------------------------------
-# Exact VPU kernel (distances + indices) — used for validation / eval paths
-# ---------------------------------------------------------------------------
-
-def _nn_kernel(a_ref, bt_ref, d_ref, idx_ref, *, m_valid: int):
-    """A (BATCH_BLOCK, TILE)-query block vs each row's full reference cloud.
-
-    a_ref: (BB, TILE, 3) queries; bt_ref: (BB, 3, Mp) coordinate-major refs;
-    d_ref/idx_ref: (BB, TILE) min squared distance and argmin index.
-    """
-    for b in range(_BATCH_BLOCK):  # static unroll: Mosaic reuses the buffers
-        a = a_ref[b]          # (TILE, 3)
-        bt = bt_ref[b]        # (3, Mp)
-        dist = (
-            jnp.square(a[:, 0:1] - bt[0:1, :])
-            + jnp.square(a[:, 1:2] - bt[1:2, :])
-            + jnp.square(a[:, 2:3] - bt[2:3, :])
-        )  # (TILE, Mp) on the VPU
-        mp = dist.shape[1]
-        if m_valid < mp:
-            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-            dist = jnp.where(col < m_valid, dist, jnp.float32(4e18))
-        d_ref[b, :] = jnp.min(dist, axis=1)
-        idx_ref[b, :] = jnp.argmin(dist, axis=1).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _nn_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
-                       interpret: bool = False) -> tuple[Array, Array]:
-    """Exact per-point (min squared distance, argmin index) of a vs b."""
-    bsz, n, _ = a.shape
-    m = b.shape[1]
-    bb = _BATCH_BLOCK
-    bp = _round_up(bsz, bb)
-    tile = min(tile, _round_up(n, _LANE))
-    np_ = _round_up(n, tile)
-    mp = _round_up(m, _LANE)
-
-    a_pad = jnp.pad(
-        a.astype(jnp.float32), ((0, bp - bsz), (0, np_ - n), (0, 0))
-    )
-    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
-    bt = jnp.pad(
-        bt,
-        ((0, bp - bsz), (0, 0), (0, mp - m)),
-        constant_values=_PAD_SENTINEL,
-    )
-
-    grid = (bp // bb, np_ // tile)
-    d, idx = pl.pallas_call(
-        functools.partial(_nn_kernel, m_valid=m),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, tile, 3), lambda bi, ni: (bi, ni, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 3, mp), lambda bi, ni: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
-            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
-        ],
-        interpret=interpret,
-    )(a_pad, bt)
-    return d[:bsz, :n], idx[:bsz, :n]
-
-
-# ---------------------------------------------------------------------------
-# MXU argmin kernel (indices only) — the hot path
-# ---------------------------------------------------------------------------
-
-def _argmin_kernel(a_ref, bt_ref, b2_ref, idx_ref, max_ref, *, exact: bool):
-    """Per batch row: idx[b, i] = argmax_j score, max[b, i] = max_j score,
-    with score = 2·a_i·b_j - |b_j|² (so min dist = |a_i|² - max score).
-
-    a_ref: (BB, TILE, 8) zero-padded query coords; bt_ref: (BB, 8, Mp)
-    coordinate-major refs; b2_ref: (BB, 8, Mp) with |b|² broadcast along
-    sublanes; idx_ref/max_ref: (BB, TILE).
-    """
-    dtype = jnp.float32 if exact else jnp.bfloat16
-    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
-    for b in range(_BATCH_BLOCK):
-        a = a_ref[b].astype(dtype)           # (TILE, 8)
-        bt = bt_ref[b].astype(dtype)         # (8, Mp)
-        score = 2.0 * jnp.dot(
-            a, bt, preferred_element_type=jnp.float32, precision=prec
-        ) - b2_ref[b, 0:1, :]                # (TILE, Mp) on the MXU
-        idx_ref[b, :] = jnp.argmax(score, axis=1).astype(jnp.int32)
-        max_ref[b, :] = jnp.max(score, axis=1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tile", "interpret", "exact")
-)
-def _argmin_one_way_pallas(a: Array, b: Array, tile: int = _DEFAULT_TILE,
-                           interpret: bool = False,
-                           exact: bool = False) -> tuple[Array, Array]:
-    """Nearest-b (index, max-score) per a point:
-    (B, N, 3) × (B, M, 3) -> (idx (B, N) int32, max_score (B, N) f32)."""
-    bsz, n, _ = a.shape
-    m = b.shape[1]
-    bb = _BATCH_BLOCK
-    bp = _round_up(bsz, bb)
-    tile = min(tile, _round_up(n, _LANE))
-    np_ = _round_up(n, tile)
-    mp = _round_up(m, _LANE)
-
-    a_pad = jnp.pad(
-        a.astype(jnp.float32),
-        ((0, bp - bsz), (0, np_ - n), (0, 8 - a.shape[-1])),
-    )
-    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)  # (B, 3, M)
-    bt = jnp.pad(
-        bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m))
-    )
-    # |b|² with padded columns pushed to +inf scores' complement: padded
-    # b columns are all-zero in bt, so give them a huge |b|² instead.
-    b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)  # (B, M)
-    b2 = jnp.pad(b2, ((0, bp - bsz), (0, mp - m)),
-                 constant_values=jnp.float32(4e18))
-    b2 = jnp.broadcast_to(b2[:, None, :], (bp, 8, mp))
-
-    grid = (bp // bb, np_ // tile)
-    idx, mx = pl.pallas_call(
-        functools.partial(_argmin_kernel, exact=exact),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
-            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
-        ],
-        interpret=interpret,
-    )(a_pad, bt, b2)
-    return idx[:bsz, :n], mx[:bsz, :n]
-
-
-# ---------------------------------------------------------------------------
-# Fused NN kernel: argmin + exact distance + in-kernel neighbor gather
-# ---------------------------------------------------------------------------
-
-def _nn_full_kernel(a_ref, bt_ref, b2_ref, idx_ref, d_ref, nb_ref, *,
-                    exact: bool):
-    """Per batch row: nearest index, exact squared distance, and the matched
-    neighbor coordinates — the gather happens in-kernel as a one-hot MXU
-    matmul, so the solver step needs no XLA row-gathers at all."""
-    for b in range(_BATCH_BLOCK):
-        a = a_ref[b]                               # (TILE, 8) f32
-        bt = bt_ref[b]                             # (8, Mp) f32
-        if exact:
-            # Exact per-coordinate squared distances on the VPU (b2 carries
-            # the +4e18 padding sentinel in its padded columns).
-            score = -(
-                jnp.square(a[:, 0:1] - bt[0:1, :])
-                + jnp.square(a[:, 1:2] - bt[1:2, :])
-                + jnp.square(a[:, 2:3] - bt[2:3, :])
-            )
-            pad = b2_ref[b, 0:1, :] > 1e18
-            score = jnp.where(pad, -jnp.float32(4e18), score)
-        else:
-            # bf16 MXU scores: only WHICH neighbor wins a near-exact tie can
-            # differ — the selected distance/coords below stay exact f32.
-            score = 2.0 * jnp.dot(
-                a.astype(jnp.bfloat16), bt.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) - b2_ref[b, 0:1, :]                  # (TILE, Mp)
-        idx = jnp.argmax(score, axis=1).astype(jnp.int32)
-        idx_ref[b, :] = idx
-        cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-        oh = (cols == idx[:, None]).astype(jnp.float32)   # (TILE, Mp)
-        # Exact one-hot selection on the VPU: one multiply-reduce per
-        # coordinate (a single nonzero per row -> no accumulation error).
-        nbs = [
-            jnp.sum(oh * bt[c : c + 1, :], axis=1, keepdims=True)
-            for c in range(3)
-        ]
-        nb = jnp.concatenate(
-            nbs + [jnp.zeros_like(nbs[0])] * 5, axis=1
-        )                                          # (TILE, 8)
-        nb_ref[b, :, :] = nb
-        diff = a - nb
-        d_ref[b, :] = jnp.sum(diff * diff, axis=1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tile", "interpret", "exact")
-)
-def _nn_full_pallas(a: Array, b: Array, tile: int = 256,
-                    interpret: bool = False, exact: bool = False):
-    """(B, N, 3) × (B, M, 3) -> (d (B, N), idx (B, N), nb (B, N, 3))."""
-    bsz, n, _ = a.shape
-    m = b.shape[1]
-    bb = _BATCH_BLOCK
-    bp = _round_up(bsz, bb)
-    tile = min(tile, _round_up(n, _LANE))
-    np_ = _round_up(n, tile)
-    mp = _round_up(m, _LANE)
-
-    a_pad = jnp.pad(
-        a.astype(jnp.float32),
-        ((0, bp - bsz), (0, np_ - n), (0, 8 - a.shape[-1])),
-    )
-    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
-    bt = jnp.pad(bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m)))
-    b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
-    b2 = jnp.pad(b2, ((0, bp - bsz), (0, mp - m)),
-                 constant_values=jnp.float32(4e18))
-    b2 = jnp.broadcast_to(b2[:, None, :], (bp, 8, mp))
-
-    grid = (bp // bb, np_ // tile)
-    idx, d, nb = pl.pallas_call(
-        functools.partial(_nn_full_kernel, exact=exact),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, tile), lambda bi, ni: (bi, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
-            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
-            jax.ShapeDtypeStruct((bp, np_, 8), jnp.float32),
-        ],
-        interpret=interpret,
-    )(a_pad, bt, b2)
-    return d[:bsz, :n], idx[:bsz, :n], nb[:bsz, :n, :3]
 
 
 # ---------------------------------------------------------------------------
@@ -473,72 +211,67 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _gather_sqdist(a: Array, b: Array, idx: Array) -> Array:
-    """d[b, i] = ||a[b,i] - b[b, idx[b,i]]||², differentiable in a and b."""
-    nb = jnp.take_along_axis(b, idx[..., None], axis=1)
-    diff = a - nb
-    return jnp.sum(diff * diff, axis=-1)
+# --- both-ways fused chamfer (r2): one NN kernel serves d1 AND d2 --------
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _nn_gather(a: Array, b: Array, use_pallas: bool, interpret: bool,
-               exact: bool):
-    """One-way nearest neighbor: (d (B, N), idx (B, N)) of a vs b.
-
-    Custom VJP so the b-side gradient (a segment-sum over matched pairs)
-    lowers to the MXU scatter kernel instead of XLA's serialized scatter.
-    With exact f32 scores the forward distance comes straight from the
-    kernel's max score (d = |a|² - max, no gather); the gather for the
-    matched difference happens once, in the backward pass.
-    """
-    d, idx, _ = _nn_forward(a, b, use_pallas, interpret, exact)
-    return d, idx
-
-
-def _nn_forward(a, b, use_pallas, interpret, exact):
+def _nn_both_forward(a, b, use_pallas, interpret):
     sa = jax.lax.stop_gradient(a)
     sb = jax.lax.stop_gradient(b)
     if use_pallas or interpret:
-        # Fused kernel: index + exact distance + in-kernel one-hot gather of
-        # the matched neighbor — no XLA row-gathers anywhere in the step.
-        d, idx, nb = _nn_full_pallas(sa, sb, interpret=interpret, exact=exact)
-        return d, idx, sa - nb
-    dist = pairwise_sqdist(sa, sb)
-    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-    return jnp.min(dist, axis=-1), idx, None
-
-
-def _nn_gather_fwd(a, b, use_pallas, interpret, exact):
-    d, idx, diff = _nn_forward(a, b, use_pallas, interpret, exact)
-    if diff is None:
-        res = (a, b, idx, None)
+        i1, i2 = _nn_both_pallas(sa, sb, interpret=interpret)
     else:
-        res = (None, None, idx, diff)  # diff already gathered in fwd
-    return (d, idx), (res, b.shape[1])
+        dist = pairwise_sqdist(sa, sb)
+        i1 = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        i2 = jnp.argmin(dist, axis=-2).astype(jnp.int32)
+    nb1 = jnp.take_along_axis(sb, i1[..., None], axis=1)   # (B, N, 3)
+    nb2 = jnp.take_along_axis(sa, i2[..., None], axis=1)   # (B, M, 3)
+    diff1 = sa - nb1
+    diff2 = sb - nb2
+    d1 = jnp.sum(diff1 * diff1, axis=-1)
+    d2 = jnp.sum(diff2 * diff2, axis=-1)
+    return d1, d2, i1, i2, diff1, diff2
 
 
-def _nn_gather_bwd(use_pallas, interpret, exact, residuals, g):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _nn_both_gather(a: Array, b: Array, use_pallas: bool, interpret: bool):
+    """Both NN directions from ONE kernel pass, with exact distances
+    recomputed from the matched pairs. Custom VJP: the direct terms are
+    elementwise; the cross terms (each side's matches scattered back onto
+    the other cloud) lower to the MXU scatter kernel — exactly
+    NmDistanceGradKernel's semantics for both directions."""
+    d1, d2, i1, i2, _, _ = _nn_both_forward(a, b, use_pallas, interpret)
+    return d1, d2, i1, i2
+
+
+def _nn_both_gather_fwd(a, b, use_pallas, interpret):
+    d1, d2, i1, i2, diff1, diff2 = _nn_both_forward(
+        a, b, use_pallas, interpret
+    )
+    return (d1, d2, i1, i2), (i1, i2, diff1, diff2)
+
+
+def _nn_both_gather_bwd(use_pallas, interpret, res, g):
     from houv_tpu.ops.scatter import scatter_add_matmul
 
-    (a, b, idx, diff), m = residuals
-    g_d, _ = g  # idx cotangent is float0
-    if diff is None:
-        # (measured: XLA's native row gather beats the one-hot-matmul kernel
-        # for the 3-channel diff; gather_rows_matmul remains available for
-        # wider-channel gathers)
-        nb = jnp.take_along_axis(b, idx[..., None], axis=1)
-        diff = a - nb
-    ga = 2.0 * g_d[..., None] * diff
+    i1, i2, diff1, diff2 = res
+    g1, g2, _, _ = g
+    n = diff1.shape[1]
+    m = diff2.shape[1]
+    t1 = 2.0 * g1[..., None] * diff1       # (B, N, 3) d1 direct term
+    t2 = 2.0 * g2[..., None] * diff2       # (B, M, 3) d2 direct term
     if use_pallas or interpret:
-        gb = scatter_add_matmul(idx, -ga, m, interpret=interpret)
+        ga = t1 + scatter_add_matmul(i2, -t2, n, interpret=interpret)
+        gb = t2 + scatter_add_matmul(i1, -t1, m, interpret=interpret)
     else:
-        gb = jax.vmap(lambda z, i, u: z.at[i].add(u))(
-            jnp.zeros((idx.shape[0], m, diff.shape[-1]), diff.dtype), idx, -ga
+        ga = t1 + jax.vmap(lambda z, i, u: z.at[i].add(u))(
+            jnp.zeros_like(diff1), i2, -t2
+        )
+        gb = t2 + jax.vmap(lambda z, i, u: z.at[i].add(u))(
+            jnp.zeros_like(diff2), i1, -t1
         )
     return ga, gb
 
 
-_nn_gather.defvjp(_nn_gather_fwd, _nn_gather_bwd)
+_nn_both_gather.defvjp(_nn_both_gather_fwd, _nn_both_gather_bwd)
 
 
 def chamfer(
@@ -551,15 +284,16 @@ def chamfer(
     """Bidirectional squared chamfer: (B,N,3),(B,M,3) -> (d1, d2, i1, i2).
 
     d1: (B, N) squared distance of each a-point to its nearest b-point,
-    i1: (B, N) index of that b-point; d2/i2 symmetric. Distances are exact
-    (recomputed from the matched pairs); gradients flow to both clouds
-    through the matched pairs only, matching NmDistanceGradKernel
-    (reference chamfer3D.cu:155-186).
+    i1: (B, N) index of that b-point; d2/i2 symmetric. One fused kernel
+    pass computes both argmins (selection at 2^-12 relative precision —
+    ``exact_scores`` is kept for API compatibility and is always satisfied
+    in the sense that distances are exact, recomputed from the matched
+    pairs); gradients flow to both clouds through the matched pairs only,
+    matching NmDistanceGradKernel (reference chamfer3D.cu:155-186).
     """
+    del exact_scores  # selection is packed-exact; distances always exact
     if use_pallas is None:
         use_pallas = _use_pallas()
     a32 = a.astype(jnp.float32)
     b32 = b.astype(jnp.float32)
-    d1, i1 = _nn_gather(a32, b32, bool(use_pallas), interpret, exact_scores)
-    d2, i2 = _nn_gather(b32, a32, bool(use_pallas), interpret, exact_scores)
-    return d1, d2, i1, i2
+    return _nn_both_gather(a32, b32, bool(use_pallas), interpret)
