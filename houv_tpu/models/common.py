@@ -62,8 +62,13 @@ class PointMLP(nn.Module):
 
 
 def max_pool_points(x: Array) -> Array:
-    """Global feature: max over the point axis. (B, N, C) -> (B, C)."""
-    return jnp.max(x, axis=-2)
+    """Global feature: max over the point axis. (B, N, C) -> (B, C).
+
+    The optimization_barrier works around an XLA TPU fusion-pass crash
+    (fusion_util.cc TransformWindow Check failure) that fires when this
+    reduce is fused with the broadcast-concat-matmul consumer pattern the
+    PointNet-style encoders use; the (B, C) barrier costs nothing."""
+    return jax.lax.optimization_barrier(jnp.max(x, axis=-2))
 
 
 def gen_grid(num_grid_point: int) -> Array:

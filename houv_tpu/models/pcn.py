@@ -31,7 +31,7 @@ class PCNEncoder(nn.Module):
         n = x.shape[1]
         h = nn.relu(nn.Dense(128)(x))
         h = nn.Dense(256)(h)
-        g = max_pool_points(h)  # (B, 256)
+        g = max_pool_points(h)  # (B, 256) — carries the fusion-bug barrier
         h = jnp.concatenate(
             [h, jnp.broadcast_to(g[:, None, :], (h.shape[0], n, g.shape[-1]))],
             axis=-1,

@@ -214,6 +214,11 @@ def _use_pallas() -> bool:
 # --- both-ways fused chamfer (r2): one NN kernel serves d1 AND d2 --------
 
 def _nn_both_forward(a, b, use_pallas, interpret):
+    # optimization_barrier: without it, XLA's TPU fusion pass merges
+    # upstream model matmul-converts into this op's pad/transpose graph and
+    # Check-fails in fusion_util.cc TransformWindow (observed on the PCN
+    # val branch); the barrier costs nothing measurable on the solver path
+    a, b = jax.lax.optimization_barrier((a, b))
     sa = jax.lax.stop_gradient(a)
     sb = jax.lax.stop_gradient(b)
     if use_pallas or interpret:

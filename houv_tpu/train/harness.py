@@ -323,6 +323,8 @@ class CompletionTrainer(_TrainerBase):
     def __post_init__(self):
         super().__post_init__()
         self.best = {m: (0, float("inf")) for m in ("cd_p", "cd_t", "f1")}
+        if self.cfg.eval_emd:
+            self.best["emd"] = (0, float("inf"))
         self.best["f1"] = (0, -float("inf"))
         self._gan_step = None
         if self.cfg.use_gan:
@@ -420,7 +422,11 @@ class CompletionTrainer(_TrainerBase):
 
     def validate(self, val_ds, epoch: int = 0):
         cfg = self.cfg
-        meters = {m: AverageValueMeter() for m in ("cd_p", "cd_t", "f1")}
+        metric_names = ["cd_p", "cd_t", "f1"]
+        if cfg.eval_emd:
+            # reference completion/train.py:48: metrics gain 'emd'
+            metric_names.insert(2, "emd")
+        meters = {m: AverageValueMeter() for m in metric_names}
         variables = self._variables()
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
