@@ -97,6 +97,7 @@ def test_visu_smoke(tmp_path, rng):
     assert len(paths) == 1
 
 
+@pytest.mark.slow
 def test_embedding_knn_mode_end_to_end(rng):
     """Mine a small synthetic class with the embedding-kNN mode: views of
     the same model must rank among each other's nearest neighbors more
