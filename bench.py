@@ -1,14 +1,22 @@
-"""Benchmark: HOUV registration throughput on real TPU hardware.
+"""Benchmark suite: one JSON line per metric on real TPU hardware.
 
-Measures solved pairs/sec at the canonical submission configuration
-(2048-point clouds, kernel=64 restarts, 500 Adam steps — reference
-registration/train_utils.py:467-488) on synthetic MVP-like pairs.
+The flagship HOUV registration throughput prints LAST (the driver parses
+the final JSON line; earlier lines let it catch regressions in EMD, kNN,
+and model training throughput too — VERDICT r2 next-round #5).
 
-Baseline (BASELINE.md): the reference sweeps 2000 pairs in ~1-2 h on 4 GPUs
--> 2000 / (5400 s · 4) ≈ 0.093 pairs/sec/GPU at the same kernel/steps
-budget. vs_baseline = our pairs/sec/chip ÷ 0.093.
+Baselines (BASELINE.md):
+- HOUV sweep: reference solves 2000 pairs in ~1-2 h on 4 GPUs at the same
+  kernel=64 / 500-step budget -> 0.093 pairs/s/GPU. vs_baseline = ours/that.
+- EMD train batch: reference CUDA auction ~50 ms for an 8x2048 batch
+  (BENCH_NOTES r2). vs_baseline = 50 / ours_ms.
+- kNN: XLA lax.top_k at the same shape measured 20.3 ms (BENCH_NOTES r2).
+  vs_baseline = 20.3 / ours_ms.
+- PCN / vrcnet_knn train: no published reference step time exists; the
+  recorded baseline is our own round-2 number (1360 and 14.6 clouds/s) so
+  the driver sees regressions round over round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+All programs hit the persistent compilation cache
+(houv_tpu.utils.cache), so a driver re-run compiles nothing.
 """
 
 from __future__ import annotations
@@ -18,56 +26,198 @@ import time
 
 import jax
 import jax.numpy as jnp
-
-from houv_tpu.data import synthesize_registration_pairs
-from houv_tpu.solvers import HOUVConfig
-# chunked driver: bounded ~10s dispatches (long single dispatches can trip
-# remote-runtime watchdogs), identical algorithm/budget to houv_solve
-from houv_tpu.solvers.houv import houv_solve_chunked as houv_solve
+import numpy as np
 
 from houv_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-BASELINE_PAIRS_PER_SEC_PER_GPU = 2000.0 / (5400.0 * 4.0)
+BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU = 2000.0 / (5400.0 * 4.0)
+BASELINE_EMD_TRAIN_MS = 50.0       # reference emd_cuda.cu, B=8 x 2048
+BASELINE_KNN_TOPK_MS = 20.3        # lax.top_k at (8, 2048, 2048) k=16
+BASELINE_PCN_CLOUDS_PER_S = 1360.0  # our round-2 device step (B=32)
+BASELINE_VRCNET_KNN_CLOUDS_PER_S = 14.6  # our round-2 train step (B=8)
 
 
-def main():
+def _sync(x) -> float:
+    """Host-read sync: under the tunneled backend block_until_ready can
+    return before execution completes — force a device->host transfer."""
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 4), "unit": unit,
+        "vs_baseline": round(vs_baseline, 2),
+    }), flush=True)
+
+
+def bench_emd():
+    from houv_tpu.ops.emd import emd_auction
+
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.uniform(key, (8, 2048, 3), jnp.float32)
+    x2 = jax.random.uniform(jax.random.fold_in(key, 1), (8, 2048, 3))
+
+    f_train = jax.jit(lambda a, b: emd_auction(a, b, 0.005, 50)[0])
+    f_eval = jax.jit(lambda a, b: emd_auction(a, b, 0.002, 3000)[0])
+    for f, name, n_iter, base in (
+        (f_train, "emd_train_ms_per_8x2048_batch", 10,
+         BASELINE_EMD_TRAIN_MS),
+        (f_eval, "emd_eval_ms_per_8x2048_batch", 3, None),
+    ):
+        _sync(f(x1, x2))
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = f(x1, x2)
+        _sync(out)
+        ms = (time.perf_counter() - t0) / n_iter * 1e3
+        emit(name, ms, "ms/batch (auction EMD, B=8, N=2048)",
+             (base / ms) if base else 0.0)
+
+
+def bench_knn():
+    from houv_tpu.ops.grouping import knn_points
+
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (8, 2048, 3), jnp.float32)
+    f = jax.jit(lambda a: knn_points(a, a, 16)[1])
+    _sync(f(q))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = f(q)
+    _sync(out)
+    ms = (time.perf_counter() - t0) / 20 * 1e3
+    emit("knn_ms_8x2048x2048_k16", ms, "ms (blockwise Pallas kNN)",
+         BASELINE_KNN_TOPK_MS / ms)
+
+
+def bench_pcn():
+    import optax
+
+    from houv_tpu.models import get_model
+
+    model = get_model("pcn", num_points=2048, num_coarse=1024)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (32, 2048, 3), jnp.float32)
+    gt = jax.random.normal(jax.random.fold_in(key, 1), (32, 2048, 3))
+    params = model.init(jax.random.PRNGKey(0), x, gt, "train", 0.5)["params"]
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return model.apply({"params": p}, x, gt, "train", 0.5)[
+                "total_loss"]
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    ms = (time.perf_counter() - t0) / 20 * 1e3
+    cps = 32.0 / (ms / 1e3)
+    emit("pcn_train_clouds_per_sec", cps,
+         "clouds/s (B=32, 2048 pts, CD loss, fwd+bwd+Adam)",
+         cps / BASELINE_PCN_CLOUDS_PER_S)
+
+
+def bench_vrcnet_knn():
+    import optax
+
+    from houv_tpu.models import get_model
+    from houv_tpu.ops.voxel import voxel_grid_indices
+
+    bsz = 16
+    model = get_model(
+        "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
+        feature_size=2048, layers=(2, 2, 2, 2), knn_list=(10,), pk=10,
+        remat=True,
+    )
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (bsz, 2048, 3), jnp.float32) * 0.3
+    gt = jax.random.normal(jax.random.fold_in(key, 1), (bsz, 2048, 3)) * 0.3
+    label = jnp.zeros((bsz,), jnp.int32)
+    coords = voxel_grid_indices(x, 50)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, gt, label=label, coords=coords,
+                           prefix="train")
+    params = variables["params"]
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, x, gt, label=label, coords=coords,
+                prefix="train", rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return out["total_loss"]
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    t_c0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    ms = (time.perf_counter() - t0) / 5 * 1e3
+    cps = bsz / (ms / 1e3)
+    emit("vrcnet_knn_train_clouds_per_sec", cps,
+         f"clouds/s (B={bsz}, 2048 pts, fwd+bwd+Adam; "
+         f"first-call {compile_s:.0f}s incl. compile)",
+         cps / BASELINE_VRCNET_KNN_CLOUDS_PER_S)
+
+
+def bench_houv():
+    from houv_tpu.data import synthesize_registration_pairs
+    from houv_tpu.solvers import HOUVConfig
+    from houv_tpu.solvers.houv import houv_solve_chunked
+
     n_pairs = 16
     data = synthesize_registration_pairs(
         n_pairs, n_points=2048, max_angle_deg=45.0, seed=2021
     )
     src = jnp.asarray(data["rotated_src"])
     tgt = jnp.asarray(data["rotated_tgt"])
-    # angle_passes=1: time the dominant pass (retry passes are data-dependent
-    # and rare on well-converged pairs; the reference's wall-clock estimate
-    # also reflects the common path).
+    # angle_passes=1: time the dominant pass (retry passes are data-
+    # dependent and rare on converged pairs; the reference's wall-clock
+    # estimate also reflects the common path)
     cfg = HOUVConfig(kernel=64, steps=500, angle_passes=1)
-    key = jax.random.PRNGKey(2021)
-
-    # Warmup / compile. NOTE: under the tunneled backend block_until_ready
-    # can return before execution completes — force a host read to sync.
-    out = houv_solve(src, tgt, key, cfg)
-    float(out["rmse"].sum())
-
+    out = houv_solve_chunked(src, tgt, jax.random.PRNGKey(2021), cfg)
+    _sync(out["rmse"].sum())
     t0 = time.perf_counter()
-    out = houv_solve(src, tgt, jax.random.PRNGKey(1), cfg)
-    float(out["rmse"].sum())
+    out = houv_solve_chunked(src, tgt, jax.random.PRNGKey(1), cfg)
+    _sync(out["rmse"].sum())
     dt = time.perf_counter() - t0
-
     pairs_per_sec = n_pairs / dt
-    print(
-        json.dumps(
-            {
-                "metric": "houv_registration_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 4),
-                "unit": "pairs/sec/chip (2048 pts, kernel=64, 500 Adam steps)",
-                "vs_baseline": round(
-                    pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_GPU, 2
-                ),
-            }
-        )
-    )
+    # flagship metric: printed last (the driver parses the final line)
+    emit("houv_registration_pairs_per_sec_per_chip", pairs_per_sec,
+         "pairs/sec/chip (2048 pts, kernel=64, 500 Adam steps)",
+         pairs_per_sec / BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU)
+
+
+def main():
+    for fn in (bench_emd, bench_knn, bench_pcn, bench_vrcnet_knn):
+        try:
+            fn()
+        except Exception as e:  # a secondary metric must not kill the run
+            print(f"# {fn.__name__} failed: {type(e).__name__}: {e}",
+                  flush=True)
+    bench_houv()
 
 
 if __name__ == "__main__":

@@ -169,6 +169,20 @@ class DCP(nn.Module):
         rmse = rmse_loss(src, t_12, t_gt)
         eye = jnp.broadcast_to(jnp.eye(4, dtype=t_12.dtype), t_gt.shape)
         mse = jnp.mean((t_12 @ jnp.linalg.inv(t_gt) - eye) ** 2)
+        if self.cycle:
+            # The committed reference computes the reverse transform under
+            # this flag but drops it (dcp.py:411-415 — `rotation_ba` is
+            # never consumed); we wire it into the loss as the upstream
+            # DCP cycle-consistency term: R_ba·R_ab = I, R_ba·t_ab = -t_ba.
+            r_ba, t_ba = dcp_svd_head(tgt_emb, src_emb, tgt, src)
+            eye3 = jnp.broadcast_to(
+                jnp.eye(3, dtype=r_ab.dtype), r_ab.shape
+            )
+            rot_cycle = jnp.mean((r_ba @ r_ab - eye3) ** 2)
+            tr_cycle = jnp.mean(
+                (jnp.einsum("bij,bj->bi", r_ba, t_ab) + t_ba) ** 2
+            )
+            mse = mse + 0.1 * (rot_cycle + tr_cycle)
         rt_mse = (
             rotation_geodesic_error(t_12[:, :3, :3], t_gt[:, :3, :3])
             + translation_error(t_12[:, :3, 3], t_gt[:, :3, 3])

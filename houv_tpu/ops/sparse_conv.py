@@ -66,37 +66,32 @@ def from_point_voxels(
     g = grid_size
     flat = (grid_ind[..., 0] * g + grid_ind[..., 1]) * g + grid_ind[..., 2]
 
-    def single(fidx, feats):
+    def single(fidx, coords, feats):
+        # Feature sums accumulate in PACKED (n, c) space, never on the full
+        # G³ grid: the grid only carries booleans + an int rank. (The r2
+        # version scattered features into a (G³, c) buffer — at c=1024 that
+        # is 0.5 GB per cloud and was the vrcnet_knn HBM/compile hog.)
         num_vox = g * g * g
-        cnt = jnp.zeros((num_vox,), jnp.float32).at[fidx].add(
-            jnp.ones((n,), jnp.float32)
+        occupied = jnp.zeros((num_vox,), jnp.bool_).at[fidx].set(
+            True, mode="drop"
         )
-        sums = jnp.zeros((num_vox, c), jnp.float32).at[fidx].add(feats)
-        occupied = cnt > 0
-        means = sums / jnp.maximum(cnt, 1.0)[:, None]
-        rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
-        dest = jnp.where(occupied, rank, n)  # pack into first rows
-        out_feat = jnp.zeros((n, c), jnp.float32).at[dest].set(
-            means, mode="drop"
+        rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1  # (G³,)
+        dest = rank[fidx]                                  # (n,) packed row
+        cnt = jnp.zeros((n,), jnp.float32).at[dest].add(1.0, mode="drop")
+        sums = jnp.zeros((n, c), jnp.float32).at[dest].add(
+            feats, mode="drop"
         )
-        # coords of packed voxels
-        zyx = jnp.stack(
-            [
-                jnp.arange(num_vox, dtype=jnp.int32) // (g * g),
-                (jnp.arange(num_vox, dtype=jnp.int32) // g) % g,
-                jnp.arange(num_vox, dtype=jnp.int32) % g,
-            ],
-            axis=-1,
-        )
+        out_feat = sums / jnp.maximum(cnt, 1.0)[:, None]
+        # packed voxel coords: every point of a voxel writes the same value
         out_coords = jnp.zeros((n, 3), jnp.int32).at[dest].set(
-            zyx, mode="drop"
+            coords, mode="drop"
         )
         count = jnp.sum(occupied, dtype=jnp.int32)
         valid = jnp.arange(n, dtype=jnp.int32) < count
-        return out_feat, out_coords, valid
+        return out_feat * valid[:, None], out_coords, valid
 
     feats, coords, mask = jax.vmap(single)(
-        flat, point_features.astype(jnp.float32)
+        flat, grid_ind, point_features.astype(jnp.float32)
     )
     return SparseGrid(feats, coords, mask, grid_size)
 
@@ -119,21 +114,34 @@ def build_lookup(sg: SparseGrid) -> Array:
     return jax.vmap(single)(flat, rows)
 
 
-def _gather_neighbors(sg: SparseGrid, lookup: Array,
-                      offset: tuple[int, int, int]):
-    """Features of each voxel's neighbor at `offset` ((B, V, C), zero when
-    absent/out of bounds)."""
-    g = sg.grid_size
-    nc = sg.coords + jnp.array(offset, jnp.int32)
-    in_bounds = jnp.all((nc >= 0) & (nc < g), axis=-1) & sg.mask
-    flat = (nc[..., 0] * g + nc[..., 1]) * g + nc[..., 2]
+def _gather_all_neighbors(features: Array, feat_mask: Array, lookup: Array,
+                          base_coords: Array, base_mask: Array,
+                          offsets, grid_size: int):
+    """Neighbor features for ALL kernel offsets in one pass.
+
+    One (B, V·K) row lookup + one (B, V·K, C) feature gather + masking —
+    instead of K separate gather/einsum pairs (the r2 structure emitted
+    ~230 unrolled gather+matmul blocks across the voxel encoder, 649 MB
+    of generated TPU code). Returns (B, V, K, C), zeros where absent.
+
+    features/feat_mask: the SOURCE voxel list the lookup indexes into;
+    base_coords/base_mask: the (possibly different-resolution) sites being
+    convolved; grid_size: source grid extent.
+    """
+    g = grid_size
+    b, v, _ = base_coords.shape
+    k = len(offsets)
+    off = jnp.asarray(offsets, jnp.int32)                     # (K, 3)
+    nc = base_coords[:, :, None, :] + off[None, None]         # (B, V, K, 3)
+    in_bounds = jnp.all((nc >= 0) & (nc < g), axis=-1) & base_mask[..., None]
+    flat = (nc[..., 0] * g + nc[..., 1]) * g + nc[..., 2]     # (B, V, K)
     flat = jnp.where(in_bounds, flat, 0)
-    rows = jnp.take_along_axis(lookup, flat, axis=1)  # (B, V)
-    valid = in_bounds & (rows >= 0)
-    safe_rows = jnp.where(valid, rows, 0)
+    rows = jnp.take_along_axis(lookup, flat.reshape(b, v * k), axis=1)
+    valid = in_bounds & (rows.reshape(b, v, k) >= 0)
+    safe = jnp.where(valid, rows.reshape(b, v, k), 0)
     feats = jnp.take_along_axis(
-        sg.features, safe_rows[..., None], axis=1
-    )
+        features, safe.reshape(b, v * k)[..., None], axis=1
+    ).reshape(b, v, k, -1)
     return jnp.where(valid[..., None], feats, 0.0)
 
 
@@ -145,19 +153,17 @@ def subm_conv(
 ) -> SparseGrid:
     """Submanifold sparse conv: output at input sites only
     (spconv.SubMConv3d semantics). weights: (K, Cin, Cout) with K =
-    prod(kernel_size), offset-ordered per ``kernel_offsets``."""
+    prod(kernel_size), offset-ordered per ``kernel_offsets``.
+
+    One fused neighbor gather + ONE (B·V)·(K·Cin)×(K·Cin, Cout) MXU
+    contraction (im2col over the sparse sites)."""
     offsets = kernel_offsets(kernel_size)
     assert weights.shape[0] == len(offsets)
-    out = None
-    for i, off in enumerate(offsets):
-        if off == (0, 0, 0):
-            nb = sg.features * sg.mask[..., None]
-        else:
-            nb = _gather_neighbors(sg, lookup, off)
-        term = jnp.einsum(
-            "bvc,cd->bvd", nb, weights[i],
-        )
-        out = term if out is None else out + term
+    nb = _gather_all_neighbors(
+        sg.features * sg.mask[..., None].astype(sg.features.dtype),
+        sg.mask, lookup, sg.coords, sg.mask, offsets, sg.grid_size,
+    )                                                          # (B, V, K, C)
+    out = jnp.einsum("bvkc,kcd->bvd", nb, weights)
     return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
 
 
@@ -203,25 +209,15 @@ def sparse_conv_down(
 
     out_coords, out_mask = jax.vmap(dedupe)(flat, out_coords_all)
 
-    # For each output site and each of the 27 taps, gather the fine voxel at
-    # position out*stride + off (offsets in {-1,0,1} around the center of
-    # the stride-2 window with padding 1).
+    # For each output site, all 27 taps at position out*stride + off are
+    # gathered in one fused pass and contracted in ONE einsum (see
+    # _gather_all_neighbors).
     offsets = kernel_offsets((3, 3, 3))
-    out_feats = jnp.zeros((b, v, weights.shape[-1]), jnp.float32)
-    base = out_coords * s
-    for i, off in enumerate(offsets):
-        nc = base + jnp.array(off, jnp.int32)
-        in_bounds = jnp.all((nc >= 0) & (nc < g), axis=-1) & out_mask
-        flat_n = (nc[..., 0] * g + nc[..., 1]) * g + nc[..., 2]
-        flat_n = jnp.where(in_bounds, flat_n, 0)
-        rows = jnp.take_along_axis(lookup, flat_n, axis=1)
-        valid = in_bounds & (rows >= 0)
-        nb = jnp.take_along_axis(
-            sg.features, jnp.where(valid, rows, 0)[..., None], axis=1
-        )
-        nb = jnp.where(valid[..., None], nb, 0.0)
-        out_feats = out_feats + jnp.einsum("bvc,cd->bvd", nb, weights[i])
-
+    nb = _gather_all_neighbors(
+        sg.features, sg.mask, lookup, out_coords * s[None, None],
+        out_mask, offsets, g,
+    )                                                          # (B, V, 27, C)
+    out_feats = jnp.einsum("bvkc,kcd->bvd", nb, weights)
     return SparseGrid(out_feats, out_coords, out_mask, out_g)
 
 

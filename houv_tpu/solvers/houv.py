@@ -81,9 +81,22 @@ class HOUVConfig:
     # recomputed from gathered matches so the backward is pure einsum
     # transposes (no scatter, no second NN pass); 'scatter': the r1 path
     # (chamfer custom-VJP with the matmul-scatter backward)
-    reparam: str = "sine"     # 'sine' | 'sigmoid' | 'unconstrained'
+    reparam: str = "sine"     # 'sine' | 'sigmoid' | 'unconstrained' | 'v3'
     rotation_mode: str = "axis_angle"  # 'axis_angle' | 'euler' (rotation_v2)
     voxel_downsample: int | None = None  # getPredict_cd_vox-style input reduction
+    # getPredict_cd_keba_v3 family (train_utils.py:575-757):
+    # objective 'multi_percent' = adaptive multi-percent weighting — loss =
+    # min@1.0 + 8·sg(min1/min@0.3)·min@0.3 + 24·sg(min1/min@0.1)·min@0.1 +
+    # 2·sg(min1/min_view_i)·min_view_i (each extra term contributes a fixed
+    # multiple of the full loss's magnitude but its own gradient direction);
+    # restart selection by the 10%-truncated loss (:706-718). Requires
+    # grad_mode='gather'.
+    objective: str = "trunc"  # 'trunc' (canonical) | 'multi_percent' (v3)
+    # two-bracket angle split (:628-634): the restart axis is halved —
+    # first half optimizes in window [base·45°, base·45°+45°], second half
+    # one window up; bracket 1 wins only if clearly better (:718).
+    two_bracket: bool = False
+    bracket_preference: float = 1.3  # rmse1 < 1.3·rmse2 keeps bracket 0
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
@@ -114,15 +127,27 @@ def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
 
 
 def reparametrize(params, angle_base: Array | int, tran_mode: str = "mvp",
-                  reparam: str = "sine", rotation_mode: str = "axis_angle"):
+                  reparam: str = "sine", rotation_mode: str = "axis_angle",
+                  two_bracket: bool = False):
     """Unconstrained params -> (R, T).
 
     reparam: 'sine' — the champion's quadrant-sliced sine windows
     (train_utils.py:404-405); 'sigmoid' — the cd_keba ablation
     (simple_icp.py:55-58: angle = sigmoid·2π, tran_s = tanh·0.25);
-    'unconstrained' — raw angle (getPredict, train_utils.py:150-180).
+    'unconstrained' — raw angle (getPredict, train_utils.py:150-180);
+    'v3' — the getPredict_cd_keba_v3 windows (train_utils.py:628-631:
+    angle = sigmoid·45° + window·45°, tran_s = sigmoid·0.20).
     rotation_mode 'euler' uses the Rx·Ry·Rz ablation (rotation_v2,
-    train_utils.py:132-142) driven by the angle_xyz parameters."""
+    train_utils.py:132-142) driven by the angle_xyz parameters.
+    two_bracket offsets the second half of the restart axis one angle
+    window up (the v3 two-bracket split, :628-634)."""
+    if two_bracket:
+        kernel = params["angle_c"].shape[1]
+        bracket = (
+            jax.lax.broadcasted_iota(jnp.float32, (1, kernel, 1), 1)
+            >= kernel // 2
+        ).astype(jnp.float32)
+        angle_base = angle_base + bracket  # (1, K, 1) broadcasts over pairs
     if reparam == "sine":
         angle = (
             jnp.sin(params["angle_c"] * _PI) * (_PI / 8)
@@ -138,6 +163,12 @@ def reparametrize(params, angle_base: Array | int, tran_mode: str = "mvp",
     elif reparam == "sigmoid":
         angle = jax.nn.sigmoid(params["angle_c"]) * 2 * _PI
         tran_s = jnp.tanh(params["tran_s"]) * 0.25
+    elif reparam == "v3":
+        angle = (
+            jax.nn.sigmoid(params["angle_c"]) * (_PI / 4)
+            + angle_base * (_PI / 4)
+        )
+        tran_s = jax.nn.sigmoid(params["tran_s"]) * 0.20
     elif reparam == "unconstrained":
         angle = params["angle_c"]
         tran_s = params["tran_s"]
@@ -166,7 +197,7 @@ def _objective_scatter(params, src, tgt, angle_base, cfg: HOUVConfig):
     """r1 formulation: chamfer custom-VJP per direction (matmul-scatter
     backward). Kept for A/B comparison and the view-loss/ablation paths."""
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
-                         cfg.rotation_mode)
+                         cfg.rotation_mode, cfg.two_bracket)
     bsz, kernel = r.shape[:2]
     n = src.shape[1]
     src_t = _apply(src, r, t).reshape(bsz * kernel, n, 3)
@@ -211,9 +242,10 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
     argmin as piecewise-constant.
     """
     from houv_tpu.ops.chamfer import _use_pallas, chamfer_indices
+    from houv_tpu.ops.gather import gather_rows
 
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
-                         cfg.rotation_mode)
+                         cfg.rotation_mode, cfg.two_bracket)
     bsz, kernel = r.shape[:2]
     n = src.shape[1]
     m = tgt.shape[1]
@@ -224,25 +256,26 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
         use_pallas = _use_pallas()
     # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
     # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
-    # (An in-kernel one-hot-matmul gather variant was measured SLOWER than
-    # XLA's row gathers here — transposed one-hot contractions relayout;
-    # see BENCH_NOTES.md r2.)
     tgt_r = jnp.broadcast_to(
         tgt[:, None], (bsz, kernel, m, 3)
     ).reshape(bsz * kernel, m, 3)
     i1, i2 = chamfer_indices(tgt_r, flat_src_t, use_pallas)
     i1 = jax.lax.stop_gradient(i1)                  # (B·K, M) -> src rows
     i2 = jax.lax.stop_gradient(i2)                  # (B·K, N) -> tgt rows
+    # Row gathers as hi/lo one-hot matmuls (ops/gather.py): all K restarts
+    # of a pair index the SAME raw cloud, so the (B, K·L) layout gathers
+    # from (B, L, 3) tables — ~5 ms each vs ~15 ms for XLA's row gather at
+    # solver shapes (the r2 in-KERNEL one-hot variant stays a dead end:
+    # transposed contractions relayout, BENCH_NOTES r2).
     tg = jax.lax.stop_gradient(
-        jnp.take_along_axis(tgt_r, i2[..., None], axis=1)
-    )                                               # (B·K, N, 3)
-    src_rep = jnp.broadcast_to(src[:, None], (bsz, kernel, n, 3))
-    s_sel = jax.lax.stop_gradient(jnp.take_along_axis(
-        src_rep.reshape(bsz * kernel, n, 3), i1[..., None], axis=1,
-    )).reshape(bsz, kernel, m, 3)
+        gather_rows(tgt, i2.reshape(bsz, kernel * n))
+    ).reshape(bsz, kernel, n, 3)                    # matched tgt per src pt
+    s_sel = jax.lax.stop_gradient(
+        gather_rows(src, i1.reshape(bsz, kernel * m))
+    ).reshape(bsz, kernel, m, 3)                    # matched raw src rows
 
     # d2: differentiable through src_t only; matched tgt points constant.
-    d2 = jnp.sum((flat_src_t - tg) ** 2, axis=-1)
+    d2 = jnp.sum((src_t - tg) ** 2, axis=-1).reshape(bsz * kernel, n)
 
     # d1: RAW matched src rows re-transformed — the gradient to (R, T) is
     # an einsum transpose instead of a scatter.
@@ -253,6 +286,34 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
     d1 = jnp.sum(
         (tgt[:, None] - matched_t) ** 2, axis=-1
     ).reshape(bsz * kernel, m)
+
+    if cfg.objective == "multi_percent":
+        # getPredict_cd_keba_v3's adaptive weighting (train_utils.py:
+        # 645-672): min@{1.0, 0.3, 0.1} truncations all reuse the ONE NN
+        # pass above; each auxiliary term is scaled by a detached
+        # min1/term ratio so it contributes a fixed multiple of the full
+        # loss's magnitude with its own gradient direction. Restart
+        # selection (the returned per-replica metric) is the 10% loss
+        # (:706: rmse_loss = min_1_1).
+        eps = 1e-12
+        mins = {}
+        for pct in (1.0, 0.3, 0.1):
+            cp = _trunc_mean_sqrt(d1, int(m * pct), cfg.fast_trim)
+            ct = _trunc_mean_sqrt(d2, int(n * pct), cfg.fast_trim)
+            mins[pct] = jnp.minimum(cp, ct)
+        min1 = mins[1.0]
+        loss = min1
+        for pct, w in ((0.3, 8.0), (0.1, 24.0)):
+            term = mins[pct]
+            ratio = jax.lax.stop_gradient(min1 / jnp.maximum(term, eps))
+            loss = loss + ratio * w * term
+        for dim in range(3):
+            vp, vt = loss_view(flat_src_t, tgt_r, dim=dim,
+                               use_pallas=cfg.use_pallas)
+            mv = jnp.minimum(vp, vt)
+            ratio = jax.lax.stop_gradient(min1 / jnp.maximum(mv, eps))
+            loss = loss + ratio * 2.0 * mv
+        return loss.mean(), mins[0.1].reshape(bsz, kernel)
 
     k1 = int(m * cfg.percent)
     k2 = int(n * cfg.percent)
@@ -272,7 +333,29 @@ def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
     """Mean loss over all (pair, restart) replicas + per-replica min_1."""
     if cfg.grad_mode == "gather":
         return _objective_gather(params, src, tgt, angle_base, cfg)
+    if cfg.objective == "multi_percent":
+        raise NotImplementedError(
+            "objective='multi_percent' requires grad_mode='gather'"
+        )
     return _objective_scatter(params, src, tgt, angle_base, cfg)
+
+
+def _best_restart(min_1: Array, cfg: HOUVConfig):
+    """(best_value (B,), best_index (B,)) over the restart axis.
+
+    With two_bracket, the halves are separate brackets and bracket 0 wins
+    unless bracket 1 is clearly better (reference train_utils.py:714-725:
+    ``if rmse[i] < rmse2[i] * 1.3`` keep bracket 0)."""
+    if not cfg.two_bracket:
+        idx = jnp.argmin(min_1, axis=1)
+        return jnp.min(min_1, axis=1), idx
+    h = min_1.shape[1] // 2
+    v0 = jnp.min(min_1[:, :h], axis=1)
+    i0 = jnp.argmin(min_1[:, :h], axis=1)
+    v1 = jnp.min(min_1[:, h:], axis=1)
+    i1 = jnp.argmin(min_1[:, h:], axis=1) + h
+    use0 = v0 < v1 * cfg.bracket_preference
+    return jnp.where(use0, v0, v1), jnp.where(use0, i0, i1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -301,7 +384,7 @@ def houv_pass(
     )
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
-                         cfg.rotation_mode)
+                         cfg.rotation_mode, cfg.two_bracket)
     return min_1, r, t
 
 
@@ -345,7 +428,7 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
 
     min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
-    best = jnp.min(min_1, axis=1)  # (B,)
+    best, _ = _best_restart(min_1, cfg)  # (B,)
     if cfg.retry_mode == "always":
         need_retry = jnp.ones_like(best, dtype=bool)
     else:
@@ -357,7 +440,7 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
 
         def run(_):
             m2, r2, t2 = houv_pass(src, tgt, params0, angle_base, cfg)
-            best2 = jnp.min(m2, axis=1)
+            best2, _ = _best_restart(m2, cfg)
             improved = jnp.logical_and(need_retry, best2 < best)  # (B,)
             m = jnp.where(improved[:, None], m2, min_1)
             rr = jnp.where(improved[:, None, None, None], r2, r)
@@ -377,7 +460,7 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
         )
 
     # Best restart per pair -> (B, 4, 4) transform.
-    idx = jnp.argmin(min_1, axis=1)  # (B,)
+    _, idx = _best_restart(min_1, cfg)  # (B,)
     r_best = jnp.take_along_axis(r, idx[:, None, None, None], axis=1)[:, 0]
     t_best = jnp.take_along_axis(t, idx[:, None, None], axis=1)[:, 0]
     return {
@@ -416,7 +499,7 @@ def houv_opt_init(params, cfg: HOUVConfig):
 def houv_finalize(src, tgt, params, angle_base, cfg: HOUVConfig):
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
-                         cfg.rotation_mode)
+                         cfg.rotation_mode, cfg.two_bracket)
     return min_1, r, t
 
 
@@ -442,7 +525,7 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
         return houv_finalize(src, tgt, params, angle_base, cfg)
 
     min_1, r, t = run_pass(0)
-    best = jnp.min(min_1, axis=1)
+    best, _ = _best_restart(min_1, cfg)
     always = cfg.retry_mode == "always"
     n_retry = int(jnp.sum(best > cfg.retry_threshold)) if not always \
         else src.shape[0]
@@ -451,14 +534,14 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
                       else best > cfg.retry_threshold)
         for base in range(1, cfg.angle_passes):
             m2, r2, t2 = run_pass(float(base))
-            best2 = jnp.min(m2, axis=1)
+            best2, _ = _best_restart(m2, cfg)
             improved = retry_mask & (best2 < best)
             min_1 = jnp.where(improved[:, None], m2, min_1)
             r = jnp.where(improved[:, None, None, None], r2, r)
             t = jnp.where(improved[:, None, None], t2, t)
             best = jnp.where(improved, best2, best)
 
-    idx = jnp.argmin(min_1, axis=1)
+    _, idx = _best_restart(min_1, cfg)
     r_best = jnp.take_along_axis(r, idx[:, None, None, None], axis=1)[:, 0]
     t_best = jnp.take_along_axis(t, idx[:, None, None], axis=1)[:, 0]
     return {

@@ -92,6 +92,7 @@ class Config:
     num_native: int = 2048
     feature_size: int = 2048
     distribution_loss: str = "KLD"
+    cycle: bool = False              # DCP reverse-direction consistency
     # remat the SA-SKN units (batch headroom; note: changes flax module
     # paths, so checkpoints are not interchangeable with use_remat=False)
     use_remat: bool = False

@@ -79,6 +79,10 @@ def test_config_end_to_end(cfg_path, tmp_path):
         assert len(ds) > 0
         metrics = houv_eval_main(cfg, log)
         assert np.isfinite(metrics["RotE"])
+        # metric-name parity (train_HOUV.py:114-118): the MSE meter tracks
+        # rmse_loss — identical to RMSE; geodesic variant lives under GeoE
+        assert set(metrics) >= {"RotE", "transE", "MSE", "RMSE", "recall"}
+        assert metrics["MSE"] == pytest.approx(metrics["RMSE"])
         return
     if cfg.model_name in ("icp", "goicp", "fgr"):
         metrics = icp_eval_main(cfg, log)

@@ -206,3 +206,47 @@ def test_gan_harness_trains(tmp_path, rng):
     assert np.isfinite(float(metrics["g_loss"]))
     assert np.isfinite(float(metrics["d_loss"]))
     assert float(metrics["d_loss"]) < 0.5  # below the no-learning fixed point
+
+
+def test_cli_learned_model_test_runs(tmp_path):
+    """Submission sweep for a learned completion model goes through the
+    jit-cached trainer.predict_batch (VERDICT r2 #3) and pads the ragged
+    last batch without emitting padded rows."""
+    import h5py
+
+    from houv_tpu.train.cli import test_main
+
+    cfg = {
+        "model_name": "pcn", "dataset": "mvp_cp", "num_points": 64,
+        "num_coarse": 32, "work_dir": str(tmp_path), "batch_size": 8,
+        "nepoch": 1,
+    }
+    cfg_path = str(tmp_path / "pcn.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    h5_path = test_main(["-c", cfg_path])
+    with h5py.File(h5_path) as f:
+        res = f["results"][()]
+    assert res.shape[1:] == (64, 3)
+    assert np.isfinite(res).all()
+
+
+def test_cli_learned_registration_test_runs(tmp_path):
+    """Same for a learned registration model: the test step returns bare
+    (B, 4, 4) transforms via the cached jit."""
+    import h5py
+
+    from houv_tpu.train.cli import test_main
+
+    cfg = {
+        "model_name": "dcp", "dataset": "mvp_rg", "num_points": 64,
+        "work_dir": str(tmp_path), "batch_size": 8, "nepoch": 1,
+    }
+    cfg_path = str(tmp_path / "dcp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    h5_path = test_main(["-c", cfg_path])
+    with h5py.File(h5_path) as f:
+        res = f["results"][()]
+    assert res.shape[1:] == (4, 4)
+    assert np.isfinite(res).all()

@@ -211,3 +211,64 @@ def test_idam_train_and_infer(rng):
 def test_registry_unknown_name():
     with pytest.raises(KeyError, match="unknown model"):
         get_model("nope")
+
+
+def test_dcp_cycle_loss(rng):
+    """cycle=True adds the reverse-direction consistency term (the
+    reference's dcp.py:411 branch computes it and drops it; here it is
+    wired into the loss) — loss must differ from cycle=False and stay
+    finite/differentiable."""
+    from houv_tpu.models.dcp import DCP
+
+    x, _ = _clouds(rng, 2, 64)
+    t_gt = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+    model = DCP(cycle=True)
+    variables = model.init(jax.random.PRNGKey(0), x, x, t_gt, "train", True)
+    out, _ = model.apply(
+        variables, x, x, t_gt, "train", True, mutable=["batch_stats"]
+    )
+    base = DCP(cycle=False).apply(
+        variables, x, x, t_gt, "train", True, mutable=["batch_stats"]
+    )[0]
+    assert jnp.isfinite(out["loss"])
+    assert float(out["loss"]) != float(base["loss"])
+
+
+@pytest.mark.parametrize("dist_loss,train_loss", [("MMD", "cd"),
+                                                  ("KLD", "emd")])
+def test_vrcnet_mmd_and_emd_options(rng, dist_loss, train_loss):
+    """Both VRCNet option axes (reference vrcnet.py:604-640): MMD
+    distribution loss and EMD train loss must produce finite losses and
+    gradients over a couple of optimization steps (VERDICT r2 #6)."""
+    import optax
+
+    x, gt = _clouds(rng, 1, 128)
+    model = get_model(
+        "vrcnet", num_points=128, num_coarse_raw=64, num_fps=128,
+        num_coarse=128, layers=(1, 1, 1, 1), knn_list=(8,), pk=8,
+        distribution_loss=dist_loss, train_loss=train_loss,
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = model.init(rngs, x, gt, "train", 0.5)["params"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, key):
+        out = model.apply(
+            {"params": p}, x, gt, "train", 0.5,
+            rngs={"latent": key, "dropout": jax.random.fold_in(key, 1)},
+        )
+        return out["total_loss"]
+
+    for step in range(2):
+        loss, g = jax.value_and_grad(loss_fn)(
+            params, jax.random.PRNGKey(10 + step)
+        )
+        assert np.isfinite(float(loss))
+        assert all(
+            bool(jnp.isfinite(v).all())
+            for v in jax.tree_util.tree_leaves(g)
+        )
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)

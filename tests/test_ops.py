@@ -203,3 +203,25 @@ def test_knn_points_pallas_path_values_and_grads(rng):
     np.testing.assert_allclose(np.asarray(neg_re), np.asarray(neg_d),
                                rtol=1e-4, atol=1e-5)
     assert np.isfinite(np.asarray(g_dense)).all()
+
+
+def test_gather_rows_onehot_exact(rng):
+    """The hi/lo one-hot matmul gather (ops/gather.py) must reproduce
+    take_along_axis to f32 hi/lo-reconstruction precision (~2^-17 rel).
+    On CPU the dispatch picks take_along_axis, so exercise the one-hot
+    form explicitly — it is the TPU hot path of the HOUV step."""
+    import jax.numpy as jnp
+
+    from houv_tpu.ops.gather import gather_rows, gather_rows_onehot
+
+    table = jnp.asarray(rng.standard_normal((3, 130, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 130, (3, 257)).astype(np.int32))
+    ref = jnp.take_along_axis(table, idx[..., None], axis=1)
+    got = gather_rows_onehot(table, idx)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=3e-5
+    )
+    # dispatcher (CPU -> take_along_axis) must be exact
+    np.testing.assert_array_equal(
+        np.asarray(gather_rows(table, idx)), np.asarray(ref)
+    )
