@@ -38,7 +38,13 @@ Array = jax.Array
 
 class SubMConv(nn.Module):
     """Submanifold conv layer with a factorized kernel (no bias, like the
-    reference's conv1x3/conv3x1/... constructors)."""
+    reference's conv1x3/conv3x1/... constructors).
+
+    The conv body runs under ``jax.checkpoint``: the (B, V, K, C) gathered-
+    neighbor tensor is REGATHERED in the backward instead of saved — these
+    residuals were the voxel branch's HBM cap (11.5 G at B=16; the gather
+    recompute costs ~ms). Checkpointing the pure op function keeps flax
+    param paths unchanged."""
 
     out_channels: int
     kernel_size: tuple = (3, 3, 3)
@@ -51,23 +57,46 @@ class SubMConv(nn.Module):
             nn.initializers.lecun_normal(),
             (k, sg.features.shape[-1], self.out_channels),
         )
-        return subm_conv(sg, lookup, w, self.kernel_size)
+
+        def body(feats, w):
+            return subm_conv(
+                SparseGrid(feats, sg.coords, sg.mask, sg.grid_size),
+                lookup, w, self.kernel_size,
+            ).features
+
+        out = jax.checkpoint(body)(sg.features, w)
+        return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
 
 
 class SparseDownConv(nn.Module):
-    """Strided sparse conv (kernel 3, padding 1)."""
+    """Strided sparse conv (kernel 3, padding 1); neighbor gathers remat'd
+    in the backward (see SubMConv)."""
 
     out_channels: int
     stride: tuple = (2, 2, 2)
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
+        from houv_tpu.ops.sparse_conv import (
+            downsample_sites,
+            sparse_conv_down_features,
+        )
+
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (27, sg.features.shape[-1], self.out_channels),
         )
-        return sparse_conv_down(sg, lookup, w, self.stride)
+        out_coords, out_mask, out_g = downsample_sites(sg, self.stride)
+
+        def body(feats, w):
+            return sparse_conv_down_features(
+                SparseGrid(feats, sg.coords, sg.mask, sg.grid_size),
+                lookup, w, out_coords, out_mask, self.stride,
+            )
+
+        feats = jax.checkpoint(body)(sg.features, w)
+        return SparseGrid(feats, out_coords, out_mask, out_g)
 
 
 def _masked_bn(sg: SparseGrid, bn: nn.Module) -> SparseGrid:

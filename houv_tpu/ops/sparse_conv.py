@@ -177,8 +177,20 @@ def sparse_conv_down(
     grid_size' = ceil(G / stride) with output sites = unique(coords //
     stride) (spconv.SparseConv3d analogue; see module docstring for the
     coverage caveat). weights: (27, Cin, Cout)."""
+    out_coords, out_mask, out_g = downsample_sites(sg, stride)
+    out_feats = sparse_conv_down_features(
+        sg, lookup, weights, out_coords, out_mask, stride
+    )
+    return SparseGrid(out_feats, out_coords, out_mask, out_g)
+
+
+def downsample_sites(sg: SparseGrid, stride: tuple[int, int, int]):
+    """(out_coords (B, V, 3), out_mask (B, V), out_grid_size): the unique
+    floor-divided coarse sites, packed. Integer-only — separated from the
+    feature computation so the conv body can sit under ``jax.checkpoint``
+    without recomputing the dedupe."""
     g = sg.grid_size
-    b, v, cin = sg.features.shape
+    v = sg.coords.shape[1]
     s = jnp.array(stride, jnp.int32)
     # Single cubic extent covering all (possibly anisotropic-stride) dims.
     out_g = max(-(-g // stride[i]) for i in range(3))
@@ -189,7 +201,7 @@ def sparse_conv_down(
     ) * out_g + out_coords_all[..., 2]
     flat = jnp.where(sg.mask, flat, out_g**3)
 
-    def dedupe(f, coords_f):
+    def dedupe(f):
         num = out_g**3
         occ = jnp.zeros((num,), jnp.bool_).at[f].set(True, mode="drop")
         rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
@@ -207,18 +219,24 @@ def sparse_conv_down(
         valid = jnp.arange(v, dtype=jnp.int32) < count
         return out_coords, valid
 
-    out_coords, out_mask = jax.vmap(dedupe)(flat, out_coords_all)
+    out_coords, out_mask = jax.vmap(dedupe)(flat)
+    return out_coords, out_mask, out_g
 
-    # For each output site, all 27 taps at position out*stride + off are
-    # gathered in one fused pass and contracted in ONE einsum (see
-    # _gather_all_neighbors).
+
+def sparse_conv_down_features(
+    sg: SparseGrid, lookup: Array, weights: Array,
+    out_coords: Array, out_mask: Array, stride: tuple[int, int, int],
+) -> Array:
+    """Feature half of the strided conv: for each output site, all 27 taps
+    at position out*stride + off are gathered in one fused pass and
+    contracted in ONE einsum (see _gather_all_neighbors)."""
+    s = jnp.array(stride, jnp.int32)
     offsets = kernel_offsets((3, 3, 3))
     nb = _gather_all_neighbors(
         sg.features, sg.mask, lookup, out_coords * s[None, None],
-        out_mask, offsets, g,
+        out_mask, offsets, sg.grid_size,
     )                                                          # (B, V, 27, C)
-    out_feats = jnp.einsum("bvkc,kcd->bvd", nb, weights)
-    return SparseGrid(out_feats, out_coords, out_mask, out_g)
+    return jnp.einsum("bvkc,kcd->bvd", nb, weights)
 
 
 def to_dense(sg: SparseGrid) -> Array:

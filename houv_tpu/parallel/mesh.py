@@ -119,10 +119,21 @@ def sharded_houv_solve_2d(
 ):
     """HOUV sweep over a (data, restart) mesh.
 
-    Each device solves kernel/n_restart restarts of B/n_data pairs; the
-    cross-device best-restart selection is a pmin + masked psum over the
-    'restart' axis (replaces the reference's host-side topk over the
-    kernel axis, train_utils.py:536-544)."""
+    Each device optimizes kernel/n_restart restarts of B/n_data pairs.
+    Retry semantics match the 1-D path exactly: after the base pass, the
+    >threshold retry mask is computed from the CROSS-SHARD best (pmin over
+    'restart') — a pair already solved by any restart shard never triggers
+    extra passes on the others, so pass counts and n_retry are identical
+    to the unsharded solver (reference's single retry list,
+    train_utils.py:493-513). Final best-restart selection is a pmin +
+    owner-masked psum (replaces the host-side topk, :536-544)."""
+    from houv_tpu.solvers.houv import (
+        _best_restart,
+        houv_pass,
+        init_params,
+        rt_to_transformation,
+    )
+
     n_data = mesh.shape["data"]
     n_restart = mesh.shape["restart"]
     if src.shape[0] % n_data:
@@ -133,26 +144,72 @@ def sharded_houv_solve_2d(
         raise ValueError(
             f"kernel {cfg.kernel} not divisible by restart axis {n_restart}"
         )
+    if cfg.two_bracket and n_restart > 1:
+        raise NotImplementedError(
+            "two_bracket splits the restart axis itself — use the 1-D mesh"
+        )
     local_cfg = dataclasses_replace_kernel(cfg, cfg.kernel // n_restart)
 
     def local_solve(src_l, tgt_l, key_l):
         di = jax.lax.axis_index("data")
         ri = jax.lax.axis_index("restart")
-        my_key = jax.random.fold_in(
-            jax.random.fold_in(key_l[0], di), ri
+        my_key = jax.random.fold_in(key_l[0], di)
+        if n_restart > 1:  # degenerate mesh reproduces the 1-D fold exactly
+            my_key = jax.random.fold_in(my_key, ri)
+        params0 = init_params(
+            my_key, src_l.shape[0], local_cfg.kernel, local_cfg.lattice_init
         )
-        out = houv_solve(src_l, tgt_l, my_key, local_cfg)
-        rmse = out["rmse"]                      # (Bl,) local best
-        tf = out["transform"]                   # (Bl, 4, 4)
-        best = jax.lax.pmin(rmse, "restart")
-        is_best = rmse <= best
+        min_1, r, t = houv_pass(src_l, tgt_l, params0, 0, local_cfg)
+        lb, _ = _best_restart(min_1, local_cfg)        # (Bl,) local best
+        best = jax.lax.pmin(lb, "restart")             # cross-shard best
+        if cfg.retry_mode == "always":
+            need = jnp.ones_like(best, bool)
+        else:
+            need = best > cfg.retry_threshold
+        # identical across restart shards -> count pairs over 'data' only
+        n_retry = jax.lax.psum(jnp.sum(need), "data")
+
+        def retry_pass(carry, angle_base):
+            min_1, r, t, best = carry
+
+            def run(_):
+                m2, r2, t2 = houv_pass(
+                    src_l, tgt_l, params0, angle_base, local_cfg
+                )
+                lb2, _ = _best_restart(m2, local_cfg)
+                best2 = jax.lax.pmin(lb2, "restart")
+                improved = jnp.logical_and(need, best2 < best)
+                # the merge decision is global; every shard swaps its own
+                # slice of the restart row — exactly the 1-D jnp.where
+                m = jnp.where(improved[:, None], m2, min_1)
+                rr = jnp.where(improved[:, None, None, None], r2, r)
+                tt = jnp.where(improved[:, None, None], t2, t)
+                b = jnp.where(improved, best2, best)
+                return m, rr, tt, b
+
+            return jax.lax.cond(
+                jnp.any(need), run, lambda _: (min_1, r, t, best), None
+            ), None
+
+        if cfg.angle_passes > 1:
+            bases = jnp.arange(1, cfg.angle_passes, dtype=jnp.float32)
+            (min_1, r, t, best), _ = jax.lax.scan(
+                retry_pass, (min_1, r, t, best), bases
+            )
+
+        lv, li = _best_restart(min_1, local_cfg)
+        r_best = jnp.take_along_axis(
+            r, li[:, None, None, None], axis=1
+        )[:, 0]
+        t_best = jnp.take_along_axis(t, li[:, None, None], axis=1)[:, 0]
+        tf = rt_to_transformation(r_best, t_best)
+        is_best = lv <= best
         # Break ties toward the lowest restart-shard index.
         owner = jax.lax.pmin(
             jnp.where(is_best, ri, jnp.int32(2**30)), "restart"
         )
         mine = (owner == ri)[:, None, None]
         tf_global = jax.lax.psum(jnp.where(mine, tf, 0.0), "restart")
-        n_retry = jax.lax.psum(out["n_retry"], ("data", "restart"))
         return tf_global, best, n_retry
 
     fn = shard_map(
