@@ -150,15 +150,18 @@ def bench_vrcnet_knn():
     variables = model.init(rngs, x, gt, label=label, coords=coords,
                            prefix="train")
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state):
         def loss_fn(p):
-            out = model.apply(
-                {"params": p}, x, gt, label=label, coords=coords,
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x, gt, label=label, coords=coords,
                 prefix="train", rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"],
             )
             return out["total_loss"]
 

@@ -11,10 +11,11 @@ Design (see /opt/skills/guides/pallas_guide.md):
 
 - The O(N·M) part runs ONCE: ``_nn_both_kernel`` evaluates each exact
   (TILE, M) f32 distance block in VMEM and reduces it along BOTH axes via
-  the packed score+index trick (monotonic int32 map of -dist, low bits
-  replaced by the complemented index, one int max-reduce per direction
-  yields argmin+value together). Selection precision is 2^-12 relative —
-  only which of two near-equidistant neighbors wins can differ.
+  the packed score+index trick (non-negative f32 distances compare as
+  int32 bit patterns, so the key is just ``(dist_bits & ~low) | index``
+  and one int MIN-reduce per direction yields argmin+value together, ties
+  to the smaller index). Selection precision is 2^-12 relative — only
+  which of two near-equidistant neighbors wins can differ.
 - Distances are then **recomputed exactly** from the selected pairs
   (O(N) gathers); the custom VJP routes the direct gradient terms
   elementwise and the cross terms through the MXU scatter kernel —
@@ -71,28 +72,38 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
 # The r1 design ran one kernel per NN direction, recomputing the same
 # (a, b) distance tiles twice (VERDICT r1 weak #1). This kernel computes
 # the (TILE, M) exact distance block once and reduces it along BOTH axes
-# using the packed score+index trick: the f32 distance is mapped to a
-# monotonic int32 key, its low bits replaced by the (complemented) column/
-# row index, and a single int max-reduce per direction yields argmin+value
-# together. Quantizing the key to 2^-12 relative precision only affects
-# which of two near-equidistant neighbors wins; exact distances are
-# recomputed from the selected pairs outside (O(N), differentiable).
+# using the packed score+index trick: the f32 distance's int32 bit pattern
+# (order-preserving for non-negative floats) has its low bits replaced by
+# the column/row index, and a single int min-reduce per direction yields
+# argmin+value together. Quantizing the key to 2^-12 relative precision
+# only affects which of two near-equidistant neighbors wins; exact
+# distances are recomputed from the selected pairs outside (O(N),
+# differentiable).
 
 def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
                     m_valid: int, idx_bits: int):
-    """Per batch row: packed (quantized -dist, complemented index) maxima.
+    """Per batch row: packed (quantized dist, index) MINIMA.
+
+    Squared distances are >= 0, and non-negative IEEE-754 floats compare
+    identically as int32 — so the packed key is simply
+    ``(dist_bits & ~low) | index`` and one int min-reduce per direction
+    yields argmin+value together, ties to the smaller index for free.
+    (The r2 kernel negated the distance and complemented the index to use
+    a max-reduce: 3 extra VPU ops per element on the hot path.)
 
     a_ref: (BB, TILE, 8) query block; bt_ref: (BB, 8, Mp) coordinate-major
-    refs; p1_ref: (BB, TILE) int32 packed per-a max (-> nearest b);
-    p2_ref: (BB, Mp) int32 packed per-b max (-> nearest a), accumulated
+    refs; p1_ref: (BB, TILE) int32 packed per-a min (-> nearest b);
+    p2_ref: (BB, Mp) int32 packed per-b min (-> nearest a), accumulated
     across the sequential N-tile grid steps.
     """
     ni = pl.program_id(1)
     tile = a_ref.shape[1]
     mp = bt_ref.shape[2]
     low = (1 << idx_bits) - 1      # python ints: baked into the kernel
-    neg_inf = -(2**31) + 1
-    order_flip = 0x7FFFFFFF
+    pos_inf = 2**31 - 1
+    # loop-invariant index planes, built once for all unrolled batch rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 0) + ni * tile
     for b in range(_BATCH_BLOCK):
         a = a_ref[b]          # (TILE, 8) f32
         bt = bt_ref[b]        # (8, Mp) f32
@@ -101,21 +112,17 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
             + jnp.square(a[:, 1:2] - bt[1:2, :])
             + jnp.square(a[:, 2:3] - bt[2:3, :])
         )                     # (TILE, Mp) exact f32 on the VPU
-        bits = pltpu.bitcast(-dist, jnp.int32)
-        # IEEE-754 order-preserving int map (negatives flip all but sign)
-        ordered = jnp.where(bits >= 0, bits, bits ^ order_flip)
-        base = jnp.bitwise_and(ordered, ~jnp.int32(low))
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 1)
-        key1 = jnp.bitwise_or(base, low - col)  # ties -> smaller col wins
-        if m_valid < mp:
-            key1 = jnp.where(col < m_valid, key1, neg_inf)
-        p1_ref[b, :] = jnp.max(key1, axis=1)
+        base = jnp.bitwise_and(pltpu.bitcast(dist, jnp.int32),
+                               ~jnp.int32(low))
+        key1 = jnp.bitwise_or(base, col)
+        if m_valid < mp:      # static: only emitted when padding exists
+            key1 = jnp.where(col < m_valid, key1, pos_inf)
+        p1_ref[b, :] = jnp.min(key1, axis=1)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 0) + ni * tile
-        key2 = jnp.bitwise_or(base, low - row)
-        if n_valid % tile:  # only the (static) ragged last tile needs a mask
-            key2 = jnp.where(row < n_valid, key2, neg_inf)
-        part2 = jnp.max(key2, axis=0)  # (Mp,)
+        key2 = jnp.bitwise_or(base, row)
+        if n_valid % tile:    # only the (static) ragged last tile masks
+            key2 = jnp.where(row < n_valid, key2, pos_inf)
+        part2 = jnp.min(key2, axis=0)  # (Mp,)
 
         @pl.when(ni == 0)
         def _():
@@ -123,7 +130,7 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
 
         @pl.when(ni > 0)
         def _():
-            p2_ref[b, :] = jnp.maximum(p2_ref[b, :], part2)
+            p2_ref[b, :] = jnp.minimum(p2_ref[b, :], part2)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -176,8 +183,8 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
         ],
         interpret=interpret,
     )(a_pad, bt)
-    i1 = low - jnp.bitwise_and(p1[:bsz, :n], low)
-    i2 = low - jnp.bitwise_and(p2[:bsz, :m], low)
+    i1 = jnp.bitwise_and(p1[:bsz, :n], low)
+    i2 = jnp.bitwise_and(p2[:bsz, :m], low)
     return i1, i2
 
 

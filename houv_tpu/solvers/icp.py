@@ -157,7 +157,8 @@ def so3_grid(n_axes: int = 26, angles=(45.0, 90.0, 135.0, 180.0)) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "chunk", "use_pallas")
+    jax.jit,
+    static_argnames=("max_iters", "chunk", "use_pallas", "refine_levels"),
 )
 def goicp_solve(
     src: Array,
@@ -167,11 +168,17 @@ def goicp_solve(
     max_iters: int = 40,
     chunk: int = 5,
     use_pallas: bool | None = None,
+    refine_levels: int = 2,
 ):
     """Systematic global ICP (the Go-ICP role): ICP from EVERY rotation of
-    the deterministic SO(3) grid, best inlier-RMSE wins. Unlike random
-    multistart, coverage is guaranteed at the grid resolution (~30 deg) —
-    an ICP basin comfortably wider than that on rigid objects.
+    the deterministic SO(3) grid, best inlier-RMSE wins, then a coarse-to-
+    fine refinement — each level perturbs the per-pair incumbent rotation
+    by a halved angular radius over the lattice axes and keeps any
+    improvement. This mirrors Go-ICP's hierarchical SO(3) subdivision
+    (reference test_goicp.py:153-177); unlike true BnB there is no
+    distance-transform lower bound to PRUNE cells, so optimality is
+    resolution-bounded (~30°/2^levels) rather than certified — the
+    keep-if-better merge still makes every level monotone.
 
     (B, N, 3) x (B, M, 3) -> dict(transform (B, 4, 4), inlier_rmse (B,)).
     """
@@ -184,19 +191,21 @@ def goicp_solve(
                                 (pad, 3, 3))], 0
     ).reshape(-1, chunk, 3, 3)
 
-    def run_chunk(rots):
-        def run(r0):
-            init = rt_to_transformation(
-                jnp.broadcast_to(r0, (bsz, 3, 3)),
-                jnp.zeros((bsz, 3), src.dtype),
-            )
-            out = icp_solve(
-                src, tgt, threshold=threshold, max_iters=max_iters,
-                init_transform=init, use_pallas=use_pallas,
-            )
-            return out["transform"], out["inlier_rmse"]
+    def run_from(init_r):
+        """ICP from per-pair rotations init_r (B, 3, 3)."""
+        init = rt_to_transformation(
+            init_r, jnp.zeros((bsz, 3), src.dtype)
+        )
+        out = icp_solve(
+            src, tgt, threshold=threshold, max_iters=max_iters,
+            init_transform=init, use_pallas=use_pallas,
+        )
+        return out["transform"], out["inlier_rmse"]
 
-        return jax.vmap(run)(rots)
+    def run_chunk(rots):
+        return jax.vmap(
+            lambda r0: run_from(jnp.broadcast_to(r0, (bsz, 3, 3)))
+        )(rots)
 
     transforms, rmses = jax.lax.map(run_chunk, grid)
     transforms = transforms.reshape(-1, bsz, 4, 4)
@@ -206,4 +215,48 @@ def goicp_solve(
         transforms, best[None, :, None, None], axis=0
     )[0]
     rm = jnp.take_along_axis(rmses, best[None, :], axis=0)[0]
+
+    # Coarse-to-fine: subdivide around the incumbent at radius 30°/2^level.
+    import numpy as np
+
+    axes = np.array(
+        [
+            (x, y, z)
+            for x in (-1, 0, 1)
+            for y in (-1, 0, 1)
+            for z in (-1, 0, 1)
+            if (x, y, z) != (0, 0, 0)
+        ],
+        np.float32,
+    )
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    axes_j = jnp.asarray(axes)                          # (26, 3)
+
+    for level in range(1, refine_levels + 1):
+        radius = jnp.radians(30.0 / (2.0 ** level))
+        deltas = rodrigues(
+            jnp.full((axes_j.shape[0],), radius, jnp.float32), axes_j
+        )                                               # (26, 3, 3)
+        pad_d = (-deltas.shape[0]) % chunk
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(jnp.eye(3, dtype=deltas.dtype),
+                                      (pad_d, 3, 3))], 0
+        ).reshape(-1, chunk, 3, 3)
+        r_inc = tf[:, :3, :3]                           # (B, 3, 3) incumbent
+
+        def refine_chunk(drots, r_inc=r_inc):
+            return jax.vmap(
+                lambda d: run_from(jnp.einsum("ij,bjk->bik", d, r_inc))
+            )(drots)
+
+        tfs2, rms2 = jax.lax.map(refine_chunk, deltas)
+        tfs2 = tfs2.reshape(-1, bsz, 4, 4)
+        rms2 = rms2.reshape(-1, bsz)
+        b2 = jnp.argmin(rms2, axis=0)
+        tf2 = jnp.take_along_axis(tfs2, b2[None, :, None, None], axis=0)[0]
+        rm2 = jnp.take_along_axis(rms2, b2[None, :], axis=0)[0]
+        better = rm2 < rm                               # keep-if-better
+        tf = jnp.where(better[:, None, None], tf2, tf)
+        rm = jnp.where(better, rm2, rm)
+
     return {"transform": tf, "inlier_rmse": rm}

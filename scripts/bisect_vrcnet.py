@@ -39,8 +39,18 @@ def report(name, fn, *args):
                f"code={m.generated_code_size_in_bytes/2**20:.0f}M")
     except Exception as e:
         mem = f"(mem analysis failed: {e})"
-    print(f"{name:10s} trace {t1-t0:6.1f}s  compile {t2-t1:6.1f}s  {mem}",
-          flush=True)
+    # timed execution (host-read sync; tunnel-safe)
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+    sync(compiled(*args))
+    te0 = time.perf_counter()
+    for _ in range(3):
+        out = compiled(*args)
+    sync(out)
+    ms = (time.perf_counter() - te0) / 3 * 1e3
+    print(f"{name:10s} trace {t1-t0:6.1f}s  compile {t2-t1:6.1f}s  "
+          f"exec {ms:7.1f}ms  {mem}", flush=True)
 
 
 def grad_of(loss_fn, params):

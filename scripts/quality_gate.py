@@ -23,14 +23,31 @@ from houv_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
+VARIANTS = {
+    # canonical submission settings (reference solve, train_utils.py:467)
+    "canonical": {},
+    # + the three axis-projected view CDs (module variant, houv.py:209-222)
+    "view": dict(use_view_loss=True),
+    # threshold-free: run every angle window, keep the lowest loss
+    "always": dict(retry_mode="always"),
+    # getPredict_cd_keba_v3: adaptive multi-percent + two-bracket split
+    "v3": dict(reparam="v3", objective="multi_percent", two_bracket=True,
+               lr=0.01, angle_passes=2),
+    "view_always": dict(use_view_loss=True, retry_mode="always"),
+}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    variant = sys.argv[2] if len(sys.argv) > 2 else "canonical"
     data = synthesize_registration_pairs(
         n, n_points=2048, max_angle_deg=90.0, max_trans=0.5, seed=11,
         shape_mode="structured", rot_mix=True,
     )
-    cfg = HOUVConfig(kernel=64, steps=500, angle_passes=4,
-                     retry_threshold=0.030)
+    kw = dict(kernel=64, steps=500, angle_passes=4, retry_threshold=0.030)
+    kw.update(VARIANTS[variant])  # variants may override the base budget
+    cfg = HOUVConfig(**kw)
+    print(f"variant: {variant}")
     t0 = time.perf_counter()
     out = houv_solve_chunked(
         jnp.asarray(data["rotated_src"]), jnp.asarray(data["rotated_tgt"]),

@@ -307,3 +307,18 @@ def test_houv_multi_percent_requires_gather():
     with pytest.raises(NotImplementedError):
         houv_solve(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)),
                    jax.random.PRNGKey(0), cfg)
+
+
+def test_goicp_refinement_is_monotone(rng):
+    """Coarse-to-fine refinement (the Go-ICP hierarchical subdivision,
+    reference test_goicp.py) can only improve the incumbent: inlier RMSE
+    with refine_levels=2 <= refine_levels=0 on every pair."""
+    from houv_tpu.solvers.icp import goicp_solve
+
+    src, tgt, _ = _full_overlap_problem(rng, bsz=2, n=96,
+                                        max_angle_deg=120.0)
+    out0 = goicp_solve(jnp.asarray(src), jnp.asarray(tgt), max_iters=10,
+                       use_pallas=False, refine_levels=0)
+    out2 = goicp_solve(jnp.asarray(src), jnp.asarray(tgt), max_iters=10,
+                       use_pallas=False, refine_levels=2)
+    assert float(jnp.max(out2["inlier_rmse"] - out0["inlier_rmse"])) <= 1e-6
