@@ -135,9 +135,11 @@ def bench_vrcnet_knn():
     from houv_tpu.ops.voxel import voxel_grid_indices
 
     bsz = 16
+    # champion-submission hyperparameters (cfgs/vrcnet_knn.yaml mirrors
+    # reference completion/cfgs/vrcnt_knn.yaml: layers 1,1,1,1, knn 16)
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
-        feature_size=2048, layers=(2, 2, 2, 2), knn_list=(10,), pk=10,
+        feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
         remat=True,
     )
     key = jax.random.PRNGKey(4)

@@ -228,32 +228,29 @@ def _trunc_mean_sqrt(d, k, fast):
     return _safe_sqrt(_smallest_k(d, k)).mean(axis=-1)
 
 
-def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
-    """Scatter-free formulation (r2): the O(N·M) search runs ONCE in the
-    fused dual-direction kernel (stop-gradient), then the loss is rebuilt
-    from the matched pairs with the transform re-applied to the *gathered*
-    raw source points. Autodiff therefore sees only elementwise ops and the
-    two small (·, 3, 3) einsums — the backward pass has no nearest-neighbor
-    recomputation and no scatter (VERDICT r1 weak #1).
+def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None):
+    """One NN pass (stop-gradient indices) + scatter-free loss rebuild.
 
-    Semantics match the reference loss exactly (registration/
-    train_utils.py:417-439): the match indices are identical to the
-    argmin at the current (R, T); reference autograd likewise treats the
-    argmin as piecewise-constant.
+    src (B, N, 3) raw, tgt (B, M, 3), src_t (B, K, N, 3) transformed
+    (differentiable), r/t the per-restart transform. With ``dim_mask``
+    (a (3,) 0/1 vector) both clouds are projected before matching —
+    the view-CD geometry (metrics/cd.py:loss_view).
+
+    Returns (d1 (B·K, M), d2 (B·K, N)) squared distances, differentiable
+    through (R, T) via einsum transposes only — NO scatter in the
+    backward (the r2 OOM at view/multi_percent settings came from these
+    terms routing through the chamfer custom-VJP scatter path).
     """
-    from houv_tpu.ops.chamfer import _use_pallas, chamfer_indices
+    from houv_tpu.ops.chamfer import chamfer_indices
     from houv_tpu.ops.gather import gather_rows
 
-    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
-                         cfg.rotation_mode, cfg.two_bracket)
     bsz, kernel = r.shape[:2]
     n = src.shape[1]
     m = tgt.shape[1]
-    src_t = _apply(src, r, t)                       # (B, K, N, 3)
+    if dim_mask is not None:
+        src_t = src_t * dim_mask
+        tgt = tgt * dim_mask
     flat_src_t = src_t.reshape(bsz * kernel, n, 3)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = _use_pallas()
     # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
     # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
     tgt_r = jnp.broadcast_to(
@@ -283,9 +280,55 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
         "bkmc,bkdc->bkmd", s_sel, r,
         precision=jax.lax.Precision.HIGHEST,
     ) + t[:, :, None, :]
+    if dim_mask is not None:
+        matched_t = matched_t * dim_mask
     d1 = jnp.sum(
         (tgt[:, None] - matched_t) ** 2, axis=-1
     ).reshape(bsz * kernel, m)
+    return d1, d2
+
+
+def _gathered_view_min(src, tgt, src_t, r, t, use_pallas, dim, fast):
+    """min(vp, vt) of the axis-``dim`` projected CD (loss_view), built in
+    the gather formulation. Matches calc_cd_percent's exact semantics at
+    percent=1.0: k = the OUTPUT (src) point count truncates BOTH sides —
+    with N != M the per-gt side keeps only the smallest N of its M
+    distances (metrics/cd.py:94-108, reference
+    model_utils_completion.py:83-100 quirk)."""
+    mask = jnp.ones((3,), src.dtype).at[dim].set(0.0)
+    d1v, d2v = _gathered_pair_dists(
+        src, tgt, src_t, r, t, use_pallas, dim_mask=mask
+    )
+    k = src.shape[1]
+    vp = _trunc_mean_sqrt(d1v, k, fast)
+    vt = _trunc_mean_sqrt(d2v, k, fast)
+    return jnp.minimum(vp, vt)
+
+
+def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
+    """Scatter-free formulation (r2): the O(N·M) search runs ONCE in the
+    fused dual-direction kernel (stop-gradient), then the loss is rebuilt
+    from the matched pairs with the transform re-applied to the *gathered*
+    raw source points. Autodiff therefore sees only elementwise ops and the
+    two small (·, 3, 3) einsums — the backward pass has no nearest-neighbor
+    recomputation and no scatter (VERDICT r1 weak #1).
+
+    Semantics match the reference loss exactly (registration/
+    train_utils.py:417-439): the match indices are identical to the
+    argmin at the current (R, T); reference autograd likewise treats the
+    argmin as piecewise-constant.
+    """
+    from houv_tpu.ops.chamfer import _use_pallas
+
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode, cfg.two_bracket)
+    bsz, kernel = r.shape[:2]
+    n = src.shape[1]
+    src_t = _apply(src, r, t)                       # (B, K, N, 3)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    d1, d2 = _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas)
 
     if cfg.objective == "multi_percent":
         # getPredict_cd_keba_v3's adaptive weighting (train_utils.py:
@@ -298,8 +341,11 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
         eps = 1e-12
         mins = {}
         for pct in (1.0, 0.3, 0.1):
-            cp = _trunc_mean_sqrt(d1, int(m * pct), cfg.fast_trim)
-            ct = _trunc_mean_sqrt(d2, int(n * pct), cfg.fast_trim)
+            # calc_cd_percent quirk: k from the OUTPUT (src) count for
+            # BOTH sides (model_utils_completion.py:85-92)
+            k = int(n * pct)
+            cp = _trunc_mean_sqrt(d1, k, cfg.fast_trim)
+            ct = _trunc_mean_sqrt(d2, k, cfg.fast_trim)
             mins[pct] = jnp.minimum(cp, ct)
         min1 = mins[1.0]
         loss = min1
@@ -308,24 +354,24 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
             ratio = jax.lax.stop_gradient(min1 / jnp.maximum(term, eps))
             loss = loss + ratio * w * term
         for dim in range(3):
-            vp, vt = loss_view(flat_src_t, tgt_r, dim=dim,
-                               use_pallas=cfg.use_pallas)
-            mv = jnp.minimum(vp, vt)
+            mv = _gathered_view_min(src, tgt, src_t, r, t, use_pallas,
+                                    dim, cfg.fast_trim)
             ratio = jax.lax.stop_gradient(min1 / jnp.maximum(mv, eps))
             loss = loss + ratio * 2.0 * mv
         return loss.mean(), mins[0.1].reshape(bsz, kernel)
 
-    k1 = int(m * cfg.percent)
-    k2 = int(n * cfg.percent)
-    cd_p = _trunc_mean_sqrt(d1, k1, cfg.fast_trim)
-    cd_t = _trunc_mean_sqrt(d2, k2, cfg.fast_trim)
+    # calc_cd_percent quirk: k from the OUTPUT (src) count for BOTH sides
+    # (model_utils_completion.py:85-92; N == M == 2048 on MVP)
+    k = int(n * cfg.percent)
+    cd_p = _trunc_mean_sqrt(d1, k, cfg.fast_trim)
+    cd_t = _trunc_mean_sqrt(d2, k, cfg.fast_trim)
     min_1 = jnp.minimum(cd_p, cd_t)
     loss = cfg.loss_weight * min_1
     if cfg.use_view_loss:
         for dim in range(3):
-            vp, vt = loss_view(flat_src_t, tgt_r, dim=dim,
-                               use_pallas=cfg.use_pallas)
-            loss = loss + jnp.minimum(vp, vt)
+            loss = loss + _gathered_view_min(
+                src, tgt, src_t, r, t, use_pallas, dim, cfg.fast_trim
+            )
     return loss.mean(), min_1.reshape(bsz, kernel)
 
 

@@ -92,7 +92,7 @@ if "sasknn" in PARTS:
 
     pts = jax.random.normal(key, (B, 3072, 3), jnp.float32) * 0.3
     enc = SASKNResEncoder(ks=(16,), pk=10, output_size=256,
-                          layers=(2, 2, 2, 2),
+                          layers=(1, 1, 1, 1),
                           pts_num=(3072, 1536, 768, 384))
     p = enc.init({"params": key, "dropout": key}, pts, True)["params"]
 
@@ -128,7 +128,7 @@ if "decoder" in PARTS:
     from houv_tpu.models.vrcnet_knn import KNNDecoder
 
     gfeat = jax.random.normal(key, (B, 2048), jnp.float32)
-    dec = KNNDecoder(2048, 1024, 3072, (2, 2, 2, 2), (16,), 10)
+    dec = KNNDecoder(2048, 1024, 3072, (1, 1, 1, 1), (16,), 10)
     p = dec.init({"params": key, "dropout": key}, gfeat, x, True)["params"]
 
     def f(p):
@@ -144,7 +144,7 @@ if "full" in PARTS:
 
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
-        feature_size=2048, layers=(2, 2, 2, 2), knn_list=(16,), pk=10,
+        feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
     )
     coords = voxel_grid_indices(x, 50)
     rngs = {"params": key, "dropout": jax.random.fold_in(key, 9)}

@@ -51,6 +51,40 @@ def test_fps_coverage_property(rng):
     assert len(set(idx.tolist())) == 64
 
 
+def test_fps_pallas_matches_xla(rng):
+    """The single-kernel Pallas FPS (interpret mode) selects exactly the
+    same indices as the XLA fori_loop version — including the non-multiple-
+    of-lane N and batch padding paths."""
+    from houv_tpu.ops.sampling import _fps_xla
+
+    for bsz, n, k in ((2, 128, 32), (3, 200, 65), (1, 96, 96)):
+        pts = rng.standard_normal((bsz, n, 3)).astype(np.float32)
+        got = np.asarray(
+            furthest_point_sample(jnp.asarray(pts), k, use_pallas=True,
+                                  interpret=True)
+        )
+        want = np.asarray(_fps_xla(jnp.asarray(pts), k))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_nondiff_under_remat(rng):
+    """nn.remat linearizes everything it wraps; the Pallas FPS must expose
+    a (zero-tangent) JVP or the champion model's rematted decoder fails to
+    differentiate (r3 regression)."""
+    import jax
+
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+
+    def model(p):
+        idx = furthest_point_sample(p, 16, use_pallas=True, interpret=True)
+        sel = jnp.take_along_axis(p, idx[..., None], axis=1)
+        return (sel ** 2).sum()
+
+    g = jax.grad(jax.remat(model))(pts)
+    assert g.shape == pts.shape
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_fps_with_dist_agrees(rng):
     pts = rng.standard_normal((2, 96, 3)).astype(np.float32)
     d = np.asarray(pairwise_sqdist(jnp.asarray(pts), jnp.asarray(pts)))

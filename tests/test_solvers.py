@@ -251,7 +251,9 @@ def test_houv_v3_multi_percent_matches_reference_math(rng):
         d1, d2 = jnp.min(d, 2), jnp.min(d, 1)
 
         def trunc(dd, pct):
-            kk = int(dd.shape[1] * pct)
+            # reference calc_cd_percent: k from the OUTPUT (src) point
+            # count for BOTH sides (model_utils_completion.py:85-92)
+            kk = int(st.shape[1] * pct)
             return jnp.sqrt(jnp.sort(dd, axis=1)[:, :kk]).mean(1)
 
         mins = {p: jnp.minimum(trunc(d1, p), trunc(d2, p))
@@ -299,6 +301,31 @@ def test_houv_v3_end_to_end_solves(rng):
                      jax.random.PRNGKey(1), cfg)
     r_err, t_err = evaluate_solution(out["transform"], jnp.asarray(pose))
     assert float(jnp.median(r_err)) < 10.0, np.asarray(r_err)
+
+
+def test_houv_view_loss_gather_matches_scatter(rng):
+    """use_view_loss in the gather formulation (scatter-free view CDs,
+    r3 — the r2 path OOMed at full solver shapes) matches the scatter
+    objective's value and gradients."""
+    from houv_tpu.solvers.houv import _objective
+
+    src = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 48, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 64, 3)).astype(np.float32))
+    params = init_params(jax.random.PRNGKey(4), 2, 4)
+    kw = dict(kernel=4, steps=1, use_view_loss=True, use_pallas=False,
+              fast_trim=False)
+    cfg_g = HOUVConfig(grad_mode="gather", **kw)
+    cfg_s = HOUVConfig(grad_mode="scatter", **kw)
+    lg, sg = _objective(params, src, tgt, 0, cfg_g)
+    ls, ss = _objective(params, src, tgt, 0, cfg_s)
+    np.testing.assert_allclose(float(lg), float(ls), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(ss), rtol=1e-5)
+    g_g = jax.grad(lambda p: _objective(p, src, tgt, 0, cfg_g)[0])(params)
+    g_s = jax.grad(lambda p: _objective(p, src, tgt, 0, cfg_s)[0])(params)
+    for key in g_s:
+        np.testing.assert_allclose(np.asarray(g_g[key]),
+                                   np.asarray(g_s[key]),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_houv_multi_percent_requires_gather():
