@@ -145,11 +145,100 @@ def _gather_all_neighbors(features: Array, feat_mask: Array, lookup: Array,
     return jnp.where(valid[..., None], feats, 0.0)
 
 
+def _conv_contract(nb: Array, weights: Array, compute_dtype) -> Array:
+    """(B, V, K, C) × (K, C, D) -> (B, V, D). With a bf16 compute dtype the
+    inputs stream through the MXU at 4× the f32 rate; accumulation stays
+    f32 (preferred_element_type)."""
+    if compute_dtype is not None:
+        nb = nb.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    return jnp.einsum(
+        "bvkc,kcd->bvd", nb, weights, preferred_element_type=jnp.float32
+    )
+
+
+def _flat_coords(coords: Array, mask: Array, g: int, sentinel: int) -> Array:
+    """(B, V, 3) int coords -> (B, V) flat ids; masked rows -> sentinel."""
+    flat = (coords[..., 0] * g + coords[..., 1]) * g + coords[..., 2]
+    return jnp.where(mask, flat, sentinel)
+
+
+def _match_conv(features: Array, src_flat: Array, query_flat: Array,
+                weights: Array, compute_dtype) -> Array:
+    """Sparse conv as two MXU einsums — no gather, no lookup grid, no
+    scatter in the backward.
+
+    The neighbor gather is a coordinate match: voxel flat ids are unique
+    per cloud, so ``match[b, j, u] = (query_flat[b, j] == src_flat[b, u])``
+    is a one-hot row and ``match @ features`` IS the gather. XLA fuses the
+    compare into the dot operand (never materializing the (B, J, U)
+    tensor), the contraction rides the MXU, and the adjoint is the
+    transposed matmul — replacing both the ~14 ms XLA row gather and its
+    scatter-add backward (~13 ms) with ~3 ms of bf16 matmul at champion
+    shapes (BENCH_NOTES r3). Out-of-bounds / masked queries carry a
+    sentinel that matches nothing -> zero rows, which also zeroes masked
+    source rows (sentinels differ).
+
+    Contraction order adapts to channel widths: gather-then-contract
+    (im2col) costs C·(U+D) MACs/site/tap, contract-weights-first costs
+    D·(C+U) — pick the smaller (the context block's 1024->128 convs are
+    5.7× cheaper weight-first).
+
+    features (B, U, C) [already compute_dtype], src_flat (B, U),
+    query_flat (B, V, K), weights (K, C, D) -> (B, V, D) f32.
+    """
+    b, u, c = features.shape
+    _, v, k = query_flat.shape
+    d = weights.shape[-1]
+    w = weights.astype(compute_dtype)
+    match = (
+        query_flat[..., None] == src_flat[:, None, None, :]
+    ).astype(compute_dtype)                                  # (B, V, K, U)
+    if c <= d:  # im2col order
+        nb = jnp.einsum(
+            "bvku,buc->bvkc", match, features,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)                              # exact: one hit
+        return jnp.einsum(
+            "bvkc,kcd->bvd", nb, w, preferred_element_type=jnp.float32
+        )
+    p = jnp.einsum(
+        "buc,kcd->bukd", features, w, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    return jnp.einsum(
+        "bvku,bukd->bvd", match, p, preferred_element_type=jnp.float32
+    )
+
+
+def _neighbor_query_flat(base_coords: Array, base_mask: Array, offsets,
+                         grid_size: int) -> Array:
+    """Flat source-grid ids of every (site, kernel-offset) neighbor;
+    -1 where out of bounds or the site is masked. (B, V, K)."""
+    g = grid_size
+    off = jnp.asarray(offsets, jnp.int32)                    # (K, 3)
+    nc = base_coords[:, :, None, :] + off[None, None]        # (B, V, K, 3)
+    in_bounds = jnp.all((nc >= 0) & (nc < g), axis=-1) & base_mask[..., None]
+    flat = (nc[..., 0] * g + nc[..., 1]) * g + nc[..., 2]
+    return jnp.where(in_bounds, flat, -1)
+
+
+def _use_match_conv(compute_dtype) -> bool:
+    """The one-hot-einsum path needs a low-precision compute dtype (the
+    match matrix would otherwise round gathered f32 features) and only
+    pays off where matmuls beat gathers (TPU)."""
+    return (
+        compute_dtype is not None
+        and jnp.dtype(compute_dtype).itemsize <= 2
+        and jax.default_backend() == "tpu"
+    )
+
+
 def subm_conv(
     sg: SparseGrid,
     lookup: Array,
     weights: Array,
     kernel_size: tuple[int, int, int],
+    compute_dtype=None,
 ) -> SparseGrid:
     """Submanifold sparse conv: output at input sites only
     (spconv.SubMConv3d semantics). weights: (K, Cin, Cout) with K =
@@ -159,11 +248,19 @@ def subm_conv(
     contraction (im2col over the sparse sites)."""
     offsets = kernel_offsets(kernel_size)
     assert weights.shape[0] == len(offsets)
+    feats = sg.features * sg.mask[..., None].astype(sg.features.dtype)
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)  # halves the gather's HBM traffic
+    if _use_match_conv(compute_dtype):
+        g = sg.grid_size
+        src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+        qf = _neighbor_query_flat(sg.coords, sg.mask, offsets, g)
+        out = _match_conv(feats, src_flat, qf, weights, compute_dtype)
+        return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
     nb = _gather_all_neighbors(
-        sg.features * sg.mask[..., None].astype(sg.features.dtype),
-        sg.mask, lookup, sg.coords, sg.mask, offsets, sg.grid_size,
+        feats, sg.mask, lookup, sg.coords, sg.mask, offsets, sg.grid_size,
     )                                                          # (B, V, K, C)
-    out = jnp.einsum("bvkc,kcd->bvd", nb, weights)
+    out = _conv_contract(nb, weights, compute_dtype)
     return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
 
 
@@ -172,6 +269,7 @@ def sparse_conv_down(
     lookup: Array,
     weights: Array,
     stride: tuple[int, int, int] = (2, 2, 2),
+    compute_dtype=None,
 ) -> SparseGrid:
     """Strided sparse conv (kernel 3, padding 1): downsample to
     grid_size' = ceil(G / stride) with output sites = unique(coords //
@@ -179,7 +277,7 @@ def sparse_conv_down(
     coverage caveat). weights: (27, Cin, Cout)."""
     out_coords, out_mask, out_g = downsample_sites(sg, stride)
     out_feats = sparse_conv_down_features(
-        sg, lookup, weights, out_coords, out_mask, stride
+        sg, lookup, weights, out_coords, out_mask, stride, compute_dtype
     )
     return SparseGrid(out_feats, out_coords, out_mask, out_g)
 
@@ -226,17 +324,28 @@ def downsample_sites(sg: SparseGrid, stride: tuple[int, int, int]):
 def sparse_conv_down_features(
     sg: SparseGrid, lookup: Array, weights: Array,
     out_coords: Array, out_mask: Array, stride: tuple[int, int, int],
+    compute_dtype=None,
 ) -> Array:
     """Feature half of the strided conv: for each output site, all 27 taps
     at position out*stride + off are gathered in one fused pass and
     contracted in ONE einsum (see _gather_all_neighbors)."""
     s = jnp.array(stride, jnp.int32)
     offsets = kernel_offsets((3, 3, 3))
+    feats = sg.features
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)  # halves the gather's HBM traffic
+    base = out_coords * s[None, None]
+    if _use_match_conv(compute_dtype):
+        g = sg.grid_size
+        feats = feats * sg.mask[..., None].astype(feats.dtype)
+        src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+        qf = _neighbor_query_flat(base, out_mask, offsets, g)
+        return _match_conv(feats, src_flat, qf, weights, compute_dtype)
     nb = _gather_all_neighbors(
-        sg.features, sg.mask, lookup, out_coords * s[None, None],
+        feats, sg.mask, lookup, base,
         out_mask, offsets, sg.grid_size,
     )                                                          # (B, V, 27, C)
-    return jnp.einsum("bvkc,kcd->bvd", nb, weights)
+    return _conv_contract(nb, weights, compute_dtype)
 
 
 def to_dense(sg: SparseGrid) -> Array:

@@ -109,3 +109,135 @@ def test_anisotropic_stride(rng):
     coords = np.asarray(out.coords)[np.asarray(out.mask)]
     assert (coords[:, 0] < 4).all() and (coords[:, 1] < 4).all()
     assert (coords[:, 2] < 8).all()
+
+
+def test_match_conv_parity_subm(rng):
+    """The one-hot-einsum (match) TPU path == the gather path, both at
+    bf16 compute (the match path is exact at bf16: each output row sums
+    exactly one 1.0·feature product in f32)."""
+    from houv_tpu.ops.sparse_conv import (
+        _flat_coords, _match_conv, _neighbor_query_flat)
+
+    sg = _random_sparse(rng, b=2, n=40, g=8, c=5)
+    w = jnp.asarray(rng.standard_normal((9, 5, 7)).astype(np.float32))
+    lk = build_lookup(sg)
+    ref = subm_conv(sg, lk, w, (1, 3, 3), compute_dtype="bfloat16").features
+
+    g = sg.grid_size
+    feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+    src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+    qf = _neighbor_query_flat(sg.coords, sg.mask, kernel_offsets((1, 3, 3)), g)
+    out = _match_conv(feats, src_flat, qf, w, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_match_conv_parity_down(rng):
+    from houv_tpu.ops.sparse_conv import (
+        _flat_coords, _match_conv, _neighbor_query_flat, downsample_sites,
+        sparse_conv_down_features)
+
+    sg = _random_sparse(rng, b=2, n=40, g=8, c=5)
+    w = jnp.asarray(rng.standard_normal((27, 5, 6)).astype(np.float32))
+    lk = build_lookup(sg)
+    out_coords, out_mask, _ = downsample_sites(sg, (2, 2, 2))
+    ref = sparse_conv_down_features(
+        sg, lk, w, out_coords, out_mask, (2, 2, 2), "bfloat16")
+
+    g = sg.grid_size
+    feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+    src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+    base = out_coords * 2
+    qf = _neighbor_query_flat(base, out_mask, kernel_offsets((3, 3, 3)), g)
+    out = _match_conv(feats, src_flat, qf, w, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_match_conv_weight_first_order(rng):
+    """C > D triggers the contract-weights-first order; results agree with
+    the im2col order to bf16 matmul tolerance."""
+    from houv_tpu.ops.sparse_conv import (
+        _flat_coords, _match_conv, _neighbor_query_flat)
+
+    sg = _random_sparse(rng, b=2, n=40, g=8, c=12)
+    w = jnp.asarray(rng.standard_normal((9, 12, 4)).astype(np.float32))
+    g = sg.grid_size
+    feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+    src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+    qf = _neighbor_query_flat(sg.coords, sg.mask, kernel_offsets((1, 3, 3)), g)
+    out_wf = _match_conv(feats, src_flat, qf, w, jnp.bfloat16)  # c=12 > d=4
+    lk = build_lookup(sg)
+    ref = subm_conv(sg, lk, w, (1, 3, 3), compute_dtype="bfloat16").features
+    np.testing.assert_allclose(np.asarray(out_wf), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _to_dense_np(sg):
+    from houv_tpu.models.voxelnet import sparse_to_dense
+    d, occ = sparse_to_dense(sg)
+    return np.asarray(d), np.asarray(occ)
+
+
+def test_dense_resblock_matches_sparse(rng):
+    """DenseResBlock == sparse ResBlock with reshaped weights (the hybrid
+    encoder's 13³+ levels)."""
+    import jax
+    from houv_tpu.models.voxelnet import DenseResBlock, ResBlock, sparse_to_dense
+
+    sg = _random_sparse(rng, b=2, n=60, g=6, c=8)
+    lk = build_lookup(sg)
+    key = jax.random.PRNGKey(0)
+    sparse_blk = ResBlock(8, height_pooling=True)
+    sp = sparse_blk.init(key, sg, lk)["params"]
+    (pooled, res) = sparse_blk.apply({"params": sp}, sg, lk)
+
+    dense_blk = DenseResBlock(8, height_pooling=True)
+    x, occ = sparse_to_dense(sg)
+    dp = dense_blk.init(key, x, occ)["params"]
+    # convert sparse (K, Cin, Cout) kernels -> dense (kx, ky, kz, Cin, Cout)
+    ks_order = [(3, 1, 3), (1, 3, 3), (1, 3, 3), (3, 1, 3)]
+    dp = dict(dp)
+    for i, ks in enumerate(ks_order):
+        w = np.asarray(sp[f"SubMConv_{i}"]["kernel"])
+        dp[f"DenseSubMConv_{i}"] = {"kernel": jnp.asarray(
+            w.reshape(*ks, w.shape[-2], w.shape[-1]))}
+    wd = np.asarray(sp["SparseDownConv_0"]["kernel"])
+    dp["down_kernel"] = jnp.asarray(wd.reshape(3, 3, 3, *wd.shape[-2:]))
+    (pooled_d, occ_d), res_d = dense_blk.apply({"params": dp}, x, occ)
+
+    # compare pre-pool features at occupied sites
+    coords = np.asarray(sg.coords); mask = np.asarray(sg.mask)
+    rd = np.asarray(res_d); rs = np.asarray(res.features)
+    for b in range(2):
+        for v in range(coords.shape[1]):
+            if mask[b, v]:
+                x_, y_, z_ = coords[b, v]
+                np.testing.assert_allclose(
+                    rd[b, x_, y_, z_], rs[b, v], rtol=2e-2, atol=2e-3)
+    # pooled: compare at the pooled sparse grid's occupied sites
+    pc = np.asarray(pooled.coords); pm = np.asarray(pooled.mask)
+    pd = np.asarray(pooled_d); ps = np.asarray(pooled.features)
+    od = np.asarray(occ_d)
+    for b in range(2):
+        for v in range(pc.shape[1]):
+            if pm[b, v]:
+                x_, y_, z_ = pc[b, v]
+                assert od[b, x_, y_, z_]
+                np.testing.assert_allclose(
+                    pd[b, x_, y_, z_], ps[b, v], rtol=2e-2, atol=2e-3)
+
+
+def test_hybrid_encoder_runs(rng):
+    """The hybrid (sparse->dense) encoder compiles and returns finite
+    features of the documented width."""
+    import jax
+    from houv_tpu.models.voxelnet import Asymm3DSpconv
+
+    grid_ind = jnp.asarray(rng.integers(0, 50, (2, 64, 3)).astype(np.int32))
+    pf = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    enc = Asymm3DSpconv(init_size=4, grid_size=50, dense_from=13)
+    vars_ = enc.init(jax.random.PRNGKey(0), grid_ind, pf, train=False)
+    out = enc.apply(vars_, grid_ind, pf, train=False)
+    assert out.shape == (2, 32)
+    assert np.isfinite(np.asarray(out)).all()
