@@ -157,7 +157,8 @@ def sharded_houv_solve_2d(
         if n_restart > 1:  # degenerate mesh reproduces the 1-D fold exactly
             my_key = jax.random.fold_in(my_key, ri)
         params0 = init_params(
-            my_key, src_l.shape[0], local_cfg.kernel, local_cfg.lattice_init
+            my_key, src_l.shape[0], local_cfg.kernel,
+            local_cfg.lattice_init, local_cfg.two_bracket
         )
         min_1, r, t = houv_pass(src_l, tgt_l, params0, 0, local_cfg)
         lb, _ = _best_restart(min_1, local_cfg)        # (Bl,) local best

@@ -99,8 +99,14 @@ class HOUVConfig:
     bracket_preference: float = 1.3  # rmse1 < 1.3·rmse2 keeps bracket 0
 
 
-def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
-    """Unconstrained parameters for (batch, kernel) optimization replicas."""
+def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
+                two_bracket: bool = False):
+    """Unconstrained parameters for (batch, kernel) optimization replicas.
+
+    With two_bracket, EACH half of the restart axis gets the 26-point
+    lattice axes (the reference's v3 keeps two full parameter sets, both
+    lattice-initialized: train_utils.py:585-603 vc_numpy reused for V_c
+    and V_c2)."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     angle_xyz = jax.random.normal(k5, (batch, kernel, 3), jnp.float32)
     v_c = jax.random.normal(k1, (batch, kernel, 3), jnp.float32)
@@ -115,8 +121,14 @@ def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True):
             ],
             jnp.float32,
         )  # (26, 3)
-        n_lat = min(26, kernel)
-        v_c = v_c.at[:, :n_lat].set(lattice[None, :n_lat])
+        if two_bracket:
+            h = kernel // 2
+            n_lat = min(26, h)
+            v_c = v_c.at[:, :n_lat].set(lattice[None, :n_lat])
+            v_c = v_c.at[:, h:h + n_lat].set(lattice[None, :n_lat])
+        else:
+            n_lat = min(26, kernel)
+            v_c = v_c.at[:, :n_lat].set(lattice[None, :n_lat])
     return {
         "v_c": v_c,
         "angle_c": jax.random.normal(k2, (batch, kernel, 1), jnp.float32),
@@ -471,7 +483,8 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
         src = reduce(src)
         tgt = reduce(tgt)
 
-    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
+    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init,
+                         cfg.two_bracket)
 
     min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
     best, _ = _best_restart(min_1, cfg)  # (B,)
@@ -556,7 +569,8 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
     500-step loop is split into jitted segments and the retry logic runs on
     the host (like the reference's solve), so no dispatch exceeds ~10s and
     retry passes only run when some pair actually needs them."""
-    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init)
+    params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init,
+                         cfg.two_bracket)
 
     def run_pass(angle_base):
         params = params0

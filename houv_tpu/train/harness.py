@@ -140,7 +140,13 @@ class _TrainerBase:
         init_rngs = {"params": self.rng}
         for name in _MODEL_RNGS.get(self.cfg.model_name, ()):
             init_rngs[name] = jax.random.fold_in(self.rng, hash(name) % 2**30)
-        variables = self.model.init(init_rngs, **self._init_args(sample_batch))
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # (minutes through a remote runtime; one compiled program instead)
+        variables = jax.jit(
+            functools.partial(
+                self.model.init, **self._init_args(sample_batch)
+            )
+        )(init_rngs)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.state = {

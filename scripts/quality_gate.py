@@ -34,6 +34,10 @@ VARIANTS = {
     "v3": dict(reparam="v3", objective="multi_percent", two_bracket=True,
                lr=0.01, angle_passes=2),
     "view_always": dict(use_view_loss=True, retry_mode="always"),
+    # framework-native hybrid the reference can't express: v3's adaptive
+    # multi-percent objective (sharpens on the best-matching 10%) under
+    # the champion's sine windows + full translation range, threshold-free
+    "mp_always": dict(objective="multi_percent", retry_mode="always"),
 }
 
 

@@ -349,3 +349,22 @@ def test_goicp_refinement_is_monotone(rng):
     out2 = goicp_solve(jnp.asarray(src), jnp.asarray(tgt), max_iters=10,
                        use_pallas=False, refine_levels=2)
     assert float(jnp.max(out2["inlier_rmse"] - out0["inlier_rmse"])) <= 1e-6
+
+
+def test_two_bracket_lattice_both_halves():
+    """v3 keeps TWO lattice-initialized parameter sets (reference
+    train_utils.py:585-603: vc_numpy reused for V_c and V_c2) — each half
+    of the restart axis must carry the 26 lattice axes."""
+    import jax
+
+    from houv_tpu.solvers.houv import init_params
+
+    p = init_params(jax.random.PRNGKey(0), 2, 64, two_bracket=True)
+    v = np.asarray(p["v_c"])
+    lattice = np.array([
+        (x, y, z)
+        for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)
+        if (x, y, z) != (0, 0, 0)
+    ], np.float32)
+    np.testing.assert_array_equal(v[:, :26], np.broadcast_to(lattice, (2, 26, 3)))
+    np.testing.assert_array_equal(v[:, 32:58], np.broadcast_to(lattice, (2, 26, 3)))
