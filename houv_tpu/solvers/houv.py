@@ -97,6 +97,13 @@ class HOUVConfig:
     # one window up; bracket 1 wins only if clearly better (:718).
     two_bracket: bool = False
     bracket_preference: float = 1.3  # rmse1 < 1.3·rmse2 keeps bracket 0
+    # Selection-only truncation override (ours, not in the reference):
+    # rank restarts / merge angle windows by the CD at this keep-fraction
+    # while the optimized loss stays at cfg.percent. select_percent=1.0
+    # ranks by the FULL CD, exposing wrong-window optima that fit the
+    # truncated overlap but misfit globally. None = rank by the loss
+    # truncation (reference semantics). gather grad_mode only.
+    select_percent: float | None = None
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -384,7 +391,18 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
             loss = loss + _gathered_view_min(
                 src, tgt, src_t, r, t, use_pallas, dim, cfg.fast_trim
             )
-    return loss.mean(), min_1.reshape(bsz, kernel)
+    sel = min_1
+    if cfg.select_percent is not None:
+        # Selection-only metric at a different truncation (not in the
+        # reference): a wrong-window optimum fits the truncated overlap
+        # but misfits globally, so ranking restarts/windows by the FULL
+        # CD (select_percent=1.0) exposes it. Reuses the one NN pass.
+        ks = int(n * cfg.select_percent)
+        sel = jnp.minimum(
+            _trunc_mean_sqrt(d1, ks, cfg.fast_trim),
+            _trunc_mean_sqrt(d2, ks, cfg.fast_trim),
+        )
+    return loss.mean(), sel.reshape(bsz, kernel)
 
 
 def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):

@@ -61,7 +61,7 @@ if "encoder" in PARTS:
     from houv_tpu.models.pcn import PCNEncoderLabel
 
     enc = PCNEncoderLabel(1024)
-    p = enc.init(key, x, label)["params"]
+    p = jax.jit(enc.init)(key, x, label)["params"]
 
     def f(p):
         feat, pf = enc.apply({"params": p}, x, label)
@@ -76,7 +76,7 @@ if "voxel" in PARTS:
     coords = voxel_grid_indices(x, 50)
     pf = jax.random.normal(key, (B, 2048, 1024), jnp.float32)
     vox = Asymm3DSpconv(128, 50)
-    vars_ = vox.init(key, coords, pf, train=True)
+    vars_ = jax.jit(lambda k, c, f: vox.init(k, c, f, train=True))(key, coords, pf)
 
     def f(p):
         out, _ = vox.apply(
@@ -94,7 +94,7 @@ if "sasknn" in PARTS:
     enc = SASKNResEncoder(ks=(16,), pk=10, output_size=256,
                           layers=(1, 1, 1, 1),
                           pts_num=(3072, 1536, 768, 384))
-    p = enc.init({"params": key, "dropout": key}, pts, True)["params"]
+    p = jax.jit(lambda r, q: enc.init(r, q, True))({"params": key, "dropout": key}, pts)["params"]
 
     def f(p):
         out = enc.apply({"params": p}, pts, True,
@@ -129,7 +129,7 @@ if "decoder" in PARTS:
 
     gfeat = jax.random.normal(key, (B, 2048), jnp.float32)
     dec = KNNDecoder(2048, 1024, 3072, (1, 1, 1, 1), (16,), 10)
-    p = dec.init({"params": key, "dropout": key}, gfeat, x, True)["params"]
+    p = jax.jit(lambda r, g, q: dec.init(r, g, q, True))({"params": key, "dropout": key}, gfeat, x)["params"]
 
     def f(p):
         c, fi, na = dec.apply({"params": p}, gfeat, x, True,
@@ -148,8 +148,8 @@ if "full" in PARTS:
     )
     coords = voxel_grid_indices(x, 50)
     rngs = {"params": key, "dropout": jax.random.fold_in(key, 9)}
-    variables = model.init(rngs, x, gt, label=label, coords=coords,
-                           prefix="train")
+    variables = jax.jit(lambda r, a, b, l, c: model.init(
+        r, a, b, label=l, coords=c, prefix="train"))(rngs, x, gt, label, coords)
 
     def f(p):
         out, _ = model.apply(

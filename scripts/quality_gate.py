@@ -38,6 +38,12 @@ VARIANTS = {
     # multi-percent objective (sharpens on the best-matching 10%) under
     # the champion's sine windows + full translation range, threshold-free
     "mp_always": dict(objective="multi_percent", retry_mode="always"),
+    # selection/merge by FULL CD (select_percent=1.0): wrong-window optima
+    # fit the truncated overlap but misfit globally
+    "selfull": dict(select_percent=1.0),
+    "always_selfull": dict(retry_mode="always", select_percent=1.0),
+    "view_always_selfull": dict(use_view_loss=True, retry_mode="always",
+                                select_percent=1.0),
 }
 
 

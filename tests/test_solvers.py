@@ -368,3 +368,25 @@ def test_two_bracket_lattice_both_halves():
     ], np.float32)
     np.testing.assert_array_equal(v[:, :26], np.broadcast_to(lattice, (2, 26, 3)))
     np.testing.assert_array_equal(v[:, 32:58], np.broadcast_to(lattice, (2, 26, 3)))
+
+
+def test_select_percent_metric():
+    """select_percent changes only the returned per-replica ranking metric
+    (the full-CD selection ablation), not the optimized loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.solvers.houv import HOUVConfig, _objective, init_params
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32)) * 0.3
+    tgt = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32)) * 0.3
+    params = init_params(jax.random.PRNGKey(0), 2, 4)
+    base = HOUVConfig(kernel=4, steps=1, use_pallas=False)
+    sel = HOUVConfig(kernel=4, steps=1, use_pallas=False, select_percent=1.0)
+    l0, m0 = _objective(params, src, tgt, 0, base)
+    l1, m1 = _objective(params, src, tgt, 0, sel)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    # full-CD metric >= 50%-truncated metric (keeping more distances)
+    assert (np.asarray(m1) >= np.asarray(m0) - 1e-6).all()
+    assert not np.allclose(np.asarray(m0), np.asarray(m1))
