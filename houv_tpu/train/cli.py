@@ -75,7 +75,7 @@ def build_dataset(cfg: Config, split: str, index_range=None):
             with_voxels=with_voxels, grid_size=cfg.grid_size,
         )
     # Synthetic fallback (the large MVP .h5 files are not distributed).
-    n = 64 if split != "train" else 128
+    n = cfg.synthetic_size or (64 if split != "train" else 128)
     if registration:
         data = synthesize_registration_pairs(
             n, n_points=cfg.num_points, max_angle_deg=cfg.max_angle,

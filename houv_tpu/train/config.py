@@ -45,6 +45,9 @@ class Config:
     max_trans: float = 0.5
     category: int | None = None
     scale_aug: bool = True
+    # size of the synthetic fallback splits (None = 128 train / 64 other);
+    # lets sweep rehearsals run at reference scale without the MVP .h5
+    synthetic_size: int | None = None
 
     # optimization
     nepoch: int = 100
