@@ -161,10 +161,14 @@ def attention(query: Array, key: Array, value: Array,
 
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with per-head projections (the reference's
-    clones(Linear)x4 pattern in DCP's transformer)."""
+    clones(Linear)x4 pattern in DCP's transformer).
+
+    dtype: compute dtype (bf16 = AMP; params stay f32, softmax runs in the
+    compute dtype — attention logits are pre-scaled so bf16 is safe)."""
 
     n_heads: int
     d_model: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None):
@@ -175,12 +179,12 @@ class MultiHeadAttention(nn.Module):
             h = dense(x)  # (B, L, d_model)
             return h.reshape(b, -1, self.n_heads, d_k).transpose(0, 2, 1, 3)
 
-        q = split(query, nn.Dense(self.d_model))
-        k = split(key, nn.Dense(self.d_model))
-        v = split(value, nn.Dense(self.d_model))
+        q = split(query, nn.Dense(self.d_model, dtype=self.dtype))
+        k = split(key, nn.Dense(self.d_model, dtype=self.dtype))
+        v = split(value, nn.Dense(self.d_model, dtype=self.dtype))
         out, _ = attention(q, k, v, mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
-        return nn.Dense(self.d_model)(out)
+        return nn.Dense(self.d_model, dtype=self.dtype)(out)
 
 
 def edge_preserve_sampling(

@@ -36,13 +36,14 @@ class DGCNN(nn.Module):
     emb_dims: int = 512
     k: int = 20
     axis_name: str | None = None
+    dtype: object = None  # bf16 = AMP (params f32, BN stats f32)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         def bn(h):
             return nn.BatchNorm(
                 use_running_average=not train, use_bias=False,
-                use_scale=True, axis_name=self.axis_name,
+                use_scale=True, axis_name=self.axis_name, dtype=self.dtype,
             )(h)
 
         # Reference computes kNN once on the input coordinates and reuses the
@@ -50,50 +51,56 @@ class DGCNN(nn.Module):
         h = get_graph_feature(x, self.k, minus_center=False)  # (B,N,k,6)
         outs = []
         for f in (64, 64, 128, 256):
-            h = nn.relu(bn(nn.Dense(f, use_bias=False)(h)))
+            h = nn.relu(bn(nn.Dense(f, use_bias=False, dtype=self.dtype)(h)))
             outs.append(jnp.max(h, axis=2))  # (B, N, f)
         cat = jnp.concatenate(outs, axis=-1)  # (B, N, 512)
-        return nn.relu(bn(nn.Dense(self.emb_dims, use_bias=False)(cat)))
+        return nn.relu(bn(
+            nn.Dense(self.emb_dims, use_bias=False, dtype=self.dtype)(cat)
+        ))
 
 
 class _FFN(nn.Module):
     d_model: int
     d_ff: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(x)))
+        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype)(x))
+        return nn.Dense(self.d_model, dtype=self.dtype)(h)
 
 
 class _EncoderLayer(nn.Module):
     d_model: int
     d_ff: int
     n_heads: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        attn = MultiHeadAttention(self.n_heads, self.d_model)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        attn = MultiHeadAttention(self.n_heads, self.d_model, self.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = x + attn(h, h, h)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
-        return x + _FFN(self.d_model, self.d_ff)(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        return x + _FFN(self.d_model, self.d_ff, self.dtype)(h)
 
 
 class _DecoderLayer(nn.Module):
     d_model: int
     d_ff: int
     n_heads: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, memory):
-        self_attn = MultiHeadAttention(self.n_heads, self.d_model)
-        cross_attn = MultiHeadAttention(self.n_heads, self.d_model)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        self_attn = MultiHeadAttention(self.n_heads, self.d_model, self.dtype)
+        cross_attn = MultiHeadAttention(self.n_heads, self.d_model, self.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = x + self_attn(h, h, h)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = x + cross_attn(h, memory, memory)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
-        return x + _FFN(self.d_model, self.d_ff)(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        return x + _FFN(self.d_model, self.d_ff, self.dtype)(h)
 
 
 class Pointer(nn.Module):
@@ -104,15 +111,16 @@ class Pointer(nn.Module):
     d_ff: int = 1024
     n_heads: int = 4
     n_layers: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, src_emb: Array, tgt_emb: Array):
         enc_layers = [
-            _EncoderLayer(self.d_model, self.d_ff, self.n_heads)
+            _EncoderLayer(self.d_model, self.d_ff, self.n_heads, self.dtype)
             for _ in range(self.n_layers)
         ]
         dec_layers = [
-            _DecoderLayer(self.d_model, self.d_ff, self.n_heads)
+            _DecoderLayer(self.d_model, self.d_ff, self.n_heads, self.dtype)
             for _ in range(self.n_layers)
         ]
         enc_norm = nn.LayerNorm(epsilon=1e-6)
@@ -149,16 +157,21 @@ class DCP(nn.Module):
     emb_dims: int = 512
     cycle: bool = False
     axis_name: str | None = None
+    # AMP: 'bfloat16' runs the DGCNN + transformer compute in bf16 (params
+    # and BN/LN statistics stay f32); the correspondence softmax and SVD
+    # head always run f32. None = full f32 (reference numerics).
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, src: Array, tgt: Array, t_gt: Array | None = None,
                  prefix: str = "train", train: bool = False):
-        emb_nn = DGCNN(self.emb_dims, axis_name=self.axis_name)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        emb_nn = DGCNN(self.emb_dims, axis_name=self.axis_name, dtype=dt)
         src_emb = emb_nn(src, train)
         tgt_emb = emb_nn(tgt, train)
-        src_p, tgt_p = Pointer(self.emb_dims)(src_emb, tgt_emb)
-        src_emb = src_emb + src_p
-        tgt_emb = tgt_emb + tgt_p
+        src_p, tgt_p = Pointer(self.emb_dims, dtype=dt)(src_emb, tgt_emb)
+        src_emb = (src_emb + src_p).astype(jnp.float32)
+        tgt_emb = (tgt_emb + tgt_p).astype(jnp.float32)
         r_ab, t_ab = dcp_svd_head(src_emb, tgt_emb, src, tgt)
         t_12 = rt_to_transformation(r_ab, t_ab)
 

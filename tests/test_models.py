@@ -272,3 +272,33 @@ def test_vrcnet_mmd_and_emd_options(rng, dist_loss, train_loss):
         )
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
+
+
+def test_dcp_amp_matches_f32(rng):
+    """compute_dtype='bfloat16' (AMP): params stay f32, outputs track the
+    f32 model loosely (activation rounding only), transform stays a valid
+    rotation."""
+    x, _ = _clouds(rng, 2, 128)
+    r = rodrigues(jnp.asarray(np.float32(0.3)), jnp.asarray([0.0, 0.0, 1.0]))
+    tgt = x @ r.T
+
+    f32 = get_model("dcp")
+    amp = get_model("dcp", compute_dtype="bfloat16")
+    variables = f32.init(jax.random.PRNGKey(0), x, tgt, None, "test", False)
+    # identical param trees (AMP must not change shapes/dtypes of params)
+    v_amp = amp.init(jax.random.PRNGKey(0), x, tgt, None, "test", False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v_amp)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(v_amp["params"])):
+        assert a.dtype == b.dtype == jnp.float32
+
+    t_f32 = f32.apply(variables, x, tgt, None, "test", False)
+    t_amp = amp.apply(variables, x, tgt, None, "test", False)
+    rr = np.asarray(t_amp[:, :3, :3])
+    np.testing.assert_allclose(rr @ np.swapaxes(rr, 1, 2),
+                               np.broadcast_to(np.eye(3), (2, 3, 3)),
+                               atol=1e-4)
+    # same correspondence structure -> transforms in the same neighborhood
+    np.testing.assert_allclose(np.asarray(t_amp), np.asarray(t_f32),
+                               atol=0.2)
