@@ -33,24 +33,32 @@ Array = jax.Array
 
 class _ConvBlock(nn.Module):
     """Dense+BN+ReLU stack with a plain final Dense (the reference's
-    Conv1DBlock/Conv2DBlock with kernel 1)."""
+    Conv1DBlock/Conv2DBlock with kernel 1).
+
+    dtype: compute dtype for the Dense/BN internals (bf16 = AMP; params
+    and BN statistics stay f32). The OUTPUT is always f32 so downstream
+    selection/SVD logic keeps reference numerics."""
 
     channels: tuple
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for f in self.channels[:-1]:
-            x = nn.Dense(f, use_bias=False)(x)
+            x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             axis_name=self.axis_name)(x)
+                             axis_name=self.axis_name, dtype=self.dtype)(x)
             x = nn.relu(x)
-        return nn.Dense(self.channels[-1])(x)
+        return nn.Dense(self.channels[-1], dtype=self.dtype)(x).astype(
+            jnp.float32
+        )
 
 
 class Propagate(nn.Module):
     emb_dims: int
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
@@ -61,22 +69,25 @@ class Propagate(nn.Module):
         )  # (B, N, k, C)
         h = nn_feat - x[:, :, None, :]
         h = _ConvBlock((self.emb_dims, self.emb_dims),
-                       axis_name=self.axis_name)(h, train)
+                       axis_name=self.axis_name, dtype=self.dtype)(h, train)
         h = jnp.max(h, axis=2)
-        return _ConvBlock((self.emb_dims,), axis_name=self.axis_name)(h, train)
+        return _ConvBlock((self.emb_dims,), axis_name=self.axis_name,
+                          dtype=self.dtype)(h, train)
 
 
 class GNN(nn.Module):
     emb_dims: int = 64
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
         _, idx = knn_points(pts, pts, 12)
         x = pts
         for _ in range(4):
-            x = Propagate(64, self.axis_name)(x, idx, train)
-        return Propagate(self.emb_dims, self.axis_name)(x, idx, train)
+            x = Propagate(64, self.axis_name, self.dtype)(x, idx, train)
+        return Propagate(self.emb_dims, self.axis_name, self.dtype)(
+            x, idx, train)
 
 
 def _gumbel_choice(key: Array, logp: Array, k: int) -> Array:
@@ -97,6 +108,9 @@ class IDAM(nn.Module):
     descriptor_size: int = 64
     num_iters: int = 3
     axis_name: str | None = None
+    # AMP: 'bfloat16' runs the GNN and similarity-conv stacks in bf16
+    # (params/BN stats f32, all selection/SVD math f32). None = full f32.
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, src: Array, tgt: Array, t_gt: Array | None = None,
@@ -104,12 +118,13 @@ class IDAM(nn.Module):
         b, n, _ = src.shape
         emb = self.descriptor_size
         src_pts_full = src
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
-        emb_nn = GNN(emb, self.axis_name)
-        sig_fc = _ConvBlock((64, 32, 1), self.axis_name)
-        sim1 = [_ConvBlock((32, 32), self.axis_name) for _ in range(self.num_iters)]
-        sim2 = [_ConvBlock((32, 1), self.axis_name) for _ in range(self.num_iters)]
-        weight_fc = [_ConvBlock((32, 1), self.axis_name) for _ in range(self.num_iters)]
+        emb_nn = GNN(emb, self.axis_name, dt)
+        sig_fc = _ConvBlock((64, 32, 1), self.axis_name, dt)
+        sim1 = [_ConvBlock((32, 32), self.axis_name, dt) for _ in range(self.num_iters)]
+        sim2 = [_ConvBlock((32, 1), self.axis_name, dt) for _ in range(self.num_iters)]
+        weight_fc = [_ConvBlock((32, 1), self.axis_name, dt) for _ in range(self.num_iters)]
 
         src_emb = emb_nn(src, train)
         tgt_emb = emb_nn(tgt, train)

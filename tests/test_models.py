@@ -302,3 +302,21 @@ def test_dcp_amp_matches_f32(rng):
     # same correspondence structure -> transforms in the same neighborhood
     np.testing.assert_allclose(np.asarray(t_amp), np.asarray(t_f32),
                                atol=0.2)
+
+
+def test_idam_amp_runs(rng):
+    """IDAM AMP: bf16 conv stacks, f32 params and outputs, finite loss."""
+    x, _ = _clouds(rng, 2, 96)
+    r = rodrigues(jnp.asarray(np.float32(0.2)), jnp.asarray([0.0, 1.0, 0.0]))
+    tgt = x @ r.T
+    t_gt = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).at[:, :3, :3].set(r)
+    model = get_model("idam", compute_dtype="bfloat16")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, tgt, t_gt, "train", True)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    out, _ = model.apply(variables, x, tgt, t_gt, "train", True,
+                         rngs={"sampling": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert jnp.isfinite(out["loss"])
