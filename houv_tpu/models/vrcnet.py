@@ -45,6 +45,7 @@ class SAModule(nn.Module):
     out_planes: int
     share_planes: int = 8
     k: int = 16
+    dtype: object = None  # bf16 = AMP (params stay f32)
 
     @nn.compact
     def __call__(self, x: Array, idx: Array) -> Array:
@@ -52,21 +53,25 @@ class SAModule(nn.Module):
         identity = x
         h = nn.relu(x)
         xn = get_edge_features(h, idx)  # (B, N, k, C)
-        x1 = nn.Dense(self.rel_planes)(h)                 # (B, N, rel)
-        x2 = nn.Dense(self.rel_planes)(xn).reshape(b, n, self.k * self.rel_planes)
-        x3 = nn.Dense(self.mid_planes)(xn)                # (B, N, k, mid)
+        x1 = nn.Dense(self.rel_planes, dtype=self.dtype)(h)   # (B, N, rel)
+        x2 = nn.Dense(self.rel_planes, dtype=self.dtype)(xn).reshape(
+            b, n, self.k * self.rel_planes)
+        x3 = nn.Dense(self.mid_planes, dtype=self.dtype)(xn)  # (B, N, k, mid)
 
         w = jnp.concatenate([x1, x2], axis=-1)
         w = nn.relu(w)
         w = nn.relu(nn.Dense(self.mid_planes // self.share_planes,
-                             use_bias=False)(w))
-        w = nn.Dense(self.k * self.mid_planes // self.share_planes)(w)
+                             use_bias=False, dtype=self.dtype)(w))
+        w = nn.Dense(self.k * self.mid_planes // self.share_planes,
+                     dtype=self.dtype)(w)
         w = w.reshape(b, n, self.k, self.mid_planes // self.share_planes)
-        w = jnp.tile(w, (1, 1, 1, self.share_planes))     # (B, N, k, mid)
-
-        out = jnp.sum(w * x3, axis=2)                     # (B, N, mid)
-        out = nn.Dense(self.out_planes)(nn.relu(out))
-        return out + identity
+        # broadcast instead of tile: share_planes repeats of w along mid
+        x3r = x3.reshape(b, n, self.k, self.share_planes,
+                         self.mid_planes // self.share_planes)
+        out = jnp.sum(w[:, :, :, None, :] * x3r, axis=2)
+        out = out.reshape(b, n, self.mid_planes)          # (B, N, mid)
+        out = nn.Dense(self.out_planes, dtype=self.dtype)(nn.relu(out))
+        return (out + identity).astype(jnp.float32)
 
 
 class SKSAModule(nn.Module):
@@ -80,6 +85,7 @@ class SKSAModule(nn.Module):
     ks: tuple = (10, 20)
     r: int = 2
     L: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, idxs: list[Array]) -> Array:
@@ -87,16 +93,17 @@ class SKSAModule(nn.Module):
         feas = []
         for i, k in enumerate(self.ks):
             f = SAModule(self.rel_planes, self.mid_planes, self.out_planes,
-                         self.share_planes, k)(x, idxs[i])
+                         self.share_planes, k, self.dtype)(x, idxs[i])
             feas.append(nn.relu(f))
         feas = jnp.stack(feas, axis=1)            # (B, nk, N, C)
         fea_u = jnp.sum(feas, axis=1)             # (B, N, C)
         fea_s = fea_u.mean(axis=1)                # (B, C)
-        fea_z = nn.Dense(d)(fea_s)
+        fea_z = nn.Dense(d, dtype=self.dtype)(fea_s)
         att = jnp.stack(
-            [nn.Dense(self.out_planes)(fea_z) for _ in self.ks], axis=1
+            [nn.Dense(self.out_planes, dtype=self.dtype)(fea_z)
+             for _ in self.ks], axis=1
         )  # (B, nk, C)
-        att = jax.nn.softmax(att, axis=1)[:, :, None, :]
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=1)[:, :, None, :]
         return jnp.sum(feas * att, axis=1)
 
 
@@ -107,15 +114,18 @@ class SKNResUnit(nn.Module):
     output_size: int
     ks: tuple = (10, 20)
     layers: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat: Array, idxs: list[Array]) -> Array:
         c = self.output_size
-        x = nn.Dense(c, use_bias=False)(feat)
+        x = nn.Dense(c, use_bias=False, dtype=self.dtype)(feat)
         for _ in range(self.layers):
-            x = SKSAModule(c // 16, c // 4, c, 8, self.ks)(x, idxs)
-        x = nn.Dense(c, use_bias=False)(nn.relu(x))
-        return x + nn.Dense(c, use_bias=False)(feat)
+            x = SKSAModule(c // 16, c // 4, c, 8, self.ks,
+                           dtype=self.dtype)(x, idxs)
+        x = nn.Dense(c, use_bias=False, dtype=self.dtype)(nn.relu(x))
+        out = x + nn.Dense(c, use_bias=False, dtype=self.dtype)(feat)
+        return out.astype(jnp.float32)
 
 
 class SASKNResEncoder(nn.Module):
@@ -135,6 +145,9 @@ class SASKNResEncoder(nn.Module):
     # attention maps are the HBM cap on batch size (B=16 at 2048 pts OOMs
     # a 16G v5e without this)
     remat: bool = False
+    # AMP: 'bfloat16' runs the SA/SK Dense stacks in bf16 (params f32,
+    # softmax/pooling/unpool math f32). None = full f32.
+    compute_dtype: str | None = None
 
     def _knn_idxs(self, pts):
         return [knn_points(pts, pts, k)[1] for k in self.ks]
@@ -144,6 +157,7 @@ class SASKNResEncoder(nn.Module):
         b = features.shape[0]
         c1 = 64
         pt1 = features[..., :3]
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def unpool(feat, src_pts, tgt_pts):
             idx, w = three_nn_upsampling(tgt_pts, src_pts)
@@ -152,37 +166,42 @@ class SASKNResEncoder(nn.Module):
             )
 
         unit = nn.remat(SKNResUnit) if self.remat else SKNResUnit
-        x = unit(c1, self.ks, self.layers[0])(
+        x = unit(c1, self.ks, self.layers[0], dt)(
             features, self._knn_idxs(pt1)
         )
         x1 = nn.relu(x)
         x, _, pt2 = edge_preserve_sampling(x1, pt1, self.pts_num[1], self.pk)
-        x = unit(c1 * 2, self.ks, self.layers[1])(x, self._knn_idxs(pt2))
+        x = unit(c1 * 2, self.ks, self.layers[1], dt)(x, self._knn_idxs(pt2))
         x2 = nn.relu(x)
         x, _, pt3 = edge_preserve_sampling(x2, pt2, self.pts_num[2], self.pk)
-        x = unit(c1 * 4, self.ks, self.layers[2])(x, self._knn_idxs(pt3))
+        x = unit(c1 * 4, self.ks, self.layers[2], dt)(x, self._knn_idxs(pt3))
         x3 = nn.relu(x)
         x, _, pt4 = edge_preserve_sampling(x3, pt3, self.pts_num[3], self.pk)
-        x = unit(c1 * 8, self.ks, self.layers[3])(x, self._knn_idxs(pt4))
+        x = unit(c1 * 8, self.ks, self.layers[3], dt)(x, self._knn_idxs(pt4))
         x4 = nn.relu(x)
 
-        g = nn.Dense(1024)(x4).max(axis=1)  # (B, 1024)
+        g = nn.Dense(1024, dtype=dt)(x4).max(axis=1)  # (B, 1024)
         g = nn.Dropout(self.dropout_rate, deterministic=not train)(
-            nn.relu(nn.Dense(512)(g))
+            nn.relu(nn.Dense(512, dtype=dt)(g))
         )
         g = nn.Dropout(self.dropout_rate, deterministic=not train)(
-            nn.relu(nn.Dense(1024)(g))
+            nn.relu(nn.Dense(1024, dtype=dt)(g))
         )
+        g = g.astype(jnp.float32)
         g = jnp.broadcast_to(g[:, None], (b, self.pts_num[3], 1024))
 
-        x = nn.relu(nn.Dense(c1 * 8)(jnp.concatenate([g, x4], axis=-1)))
+        x = nn.relu(nn.Dense(c1 * 8, dtype=dt)(
+            jnp.concatenate([g, x4], axis=-1)).astype(jnp.float32))
         x = unpool(x, pt4, pt3)
-        x = nn.relu(nn.Dense(c1 * 4)(jnp.concatenate([x, x3], axis=-1)))
+        x = nn.relu(nn.Dense(c1 * 4, dtype=dt)(
+            jnp.concatenate([x, x3], axis=-1)).astype(jnp.float32))
         x = unpool(x, pt3, pt2)
-        x = nn.relu(nn.Dense(c1 * 2)(jnp.concatenate([x, x2], axis=-1)))
+        x = nn.relu(nn.Dense(c1 * 2, dtype=dt)(
+            jnp.concatenate([x, x2], axis=-1)).astype(jnp.float32))
         x = unpool(x, pt2, pt1)
-        x = nn.relu(nn.Dense(c1)(jnp.concatenate([x, x1], axis=-1)))
-        return nn.Dense(self.output_size)(x)
+        x = nn.relu(nn.Dense(c1, dtype=dt)(
+            jnp.concatenate([x, x1], axis=-1)))
+        return nn.Dense(self.output_size, dtype=dt)(x).astype(jnp.float32)
 
 
 class Folding(nn.Module):
@@ -233,6 +252,7 @@ class MSAPSKNDecoder(nn.Module):
     points_label: bool = False
     local_folding: bool = False
     remat: bool = False
+    compute_dtype: str | None = None  # bf16 = AMP in the SA-SKN encoder
 
     @nn.compact
     def __call__(self, global_feat: Array, point_input: Array,
@@ -264,6 +284,7 @@ class MSAPSKNDecoder(nn.Module):
         dense_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256,
             layers=self.layers, pts_num=pts_num,
+            compute_dtype=self.compute_dtype,
         )(points, train)
 
         up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))
@@ -349,6 +370,7 @@ class VRCNet(nn.Module):
     distribution_loss: str = "KLD"
     train_loss: str = "cd"
     eval_emd: bool = False
+    compute_dtype: str | None = None  # bf16 = AMP in the SA-SKN encoder
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
@@ -363,6 +385,7 @@ class VRCNet(nn.Module):
             self.num_coarse_raw, self.num_fps, self.num_coarse,
             self.num_points, self.layers, self.knn_list, self.pk,
             self.points_label, self.local_folding, remat=self.remat,
+            compute_dtype=self.compute_dtype,
         )
 
         if prefix == "train":

@@ -41,6 +41,7 @@ class KNNDecoder(nn.Module):
     knn_list: tuple = (16,)
     pk: int = 10
     remat: bool = False
+    compute_dtype: str | None = None  # bf16 = AMP in the SA-SKN encoder
 
     @nn.compact
     def __call__(self, global_feat: Array, origin_points: Array,
@@ -57,6 +58,7 @@ class KNNDecoder(nn.Module):
             if self.remat else SASKNResEncoder
         fine_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256, layers=self.layers,
+            compute_dtype=self.compute_dtype,
             pts_num=(
                 points.shape[1], points.shape[1] // 2,
                 points.shape[1] // 4, points.shape[1] // 8,
@@ -86,6 +88,7 @@ class VRCNetKNN(nn.Module):
     voxel_init_size: int = 128
     axis_name: str | None = None
     remat: bool = False  # remat the SA-SKN units (2x batch headroom)
+    compute_dtype: str | None = None  # bf16 = AMP in the SA-SKN encoder
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
@@ -111,6 +114,7 @@ class VRCNetKNN(nn.Module):
         coarse, fine, native = KNNDecoder(
             self.num_native, self.num_coarse, self.num_fine,
             self.layers, self.knn_list, self.pk, remat=self.remat,
+            compute_dtype=self.compute_dtype,
         )(feat, x, train=(prefix == "train"))
 
         if prefix == "train":

@@ -320,3 +320,27 @@ def test_idam_amp_runs(rng):
                          rngs={"sampling": jax.random.PRNGKey(2)},
                          mutable=["batch_stats"])
     assert jnp.isfinite(out["loss"])
+
+
+def test_vrcnet_knn_amp_runs(rng):
+    """vrcnet_knn AMP: bf16 SA-SKN encoder, f32 params, finite losses."""
+    from houv_tpu.ops.voxel import voxel_grid_indices
+
+    x, gt = _clouds(rng, 2, 256)
+    model = get_model(
+        "vrcnet_knn", num_native=256, num_coarse=128, num_fine=384,
+        feature_size=2048, layers=(1, 1, 1, 1), knn_list=(8,), pk=6,
+        compute_dtype="bfloat16",
+    )
+    coords = voxel_grid_indices(x, 50)
+    label = jnp.zeros((2,), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, gt, label=label, coords=coords,
+                           prefix="train")
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    out, _ = model.apply(variables, x, gt, label=label, coords=coords,
+                         prefix="train",
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert jnp.isfinite(out["total_loss"])
