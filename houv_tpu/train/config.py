@@ -48,6 +48,10 @@ class Config:
     # size of the synthetic fallback splits (None = 128 train / 64 other);
     # lets sweep rehearsals run at reference scale without the MVP .h5
     synthetic_size: int | None = None
+    # mixed precision for the learned models that support it (dcp, idam,
+    # vrcnet, vrcnet_knn): 'bfloat16' runs their hot Dense/attention
+    # stacks in bf16 with f32 params and statistics; None = full f32
+    compute_dtype: str | None = None
 
     # optimization
     nepoch: int = 100

@@ -57,22 +57,23 @@ def model_from_config(cfg: Config):
                   local_folding=cfg.local_folding,
                   distribution_loss=cfg.distribution_loss,
                   train_loss=cfg.loss, eval_emd=cfg.eval_emd,
-                  remat=cfg.use_remat)
+                  remat=cfg.use_remat, compute_dtype=cfg.compute_dtype)
     elif name == "vrcnet_knn":
         kw = dict(num_native=cfg.num_native, num_coarse=cfg.num_coarse,
                   num_fine=cfg.num_fine, feature_size=cfg.feature_size,
                   layers=tuple(cfg.layers), knn_list=tuple(cfg.knn_list),
                   pk=cfg.pk, voxel_grid_size=cfg.grid_size,
                   voxel_init_size=cfg.voxel_init_size,
-                  remat=cfg.use_remat)
+                  remat=cfg.use_remat, compute_dtype=cfg.compute_dtype)
     elif name == "dcp":
-        kw = dict(cycle=cfg.cycle)
+        kw = dict(cycle=cfg.cycle, compute_dtype=cfg.compute_dtype)
     elif name == "deepgmr":
         kw = dict(use_rri=cfg.use_rri, rri_size=cfg.rri_size,
                   num_groups=cfg.num_groups)
     elif name == "idam":
         kw = dict(descriptor_size=cfg.descriptor_size,
-                  num_iters=cfg.num_iters)
+                  num_iters=cfg.num_iters,
+                  compute_dtype=cfg.compute_dtype)
     elif name == "transformer":
         kw = dict(num_points=cfg.num_points, eval_emd=cfg.eval_emd)
     else:
