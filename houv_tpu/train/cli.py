@@ -147,10 +147,13 @@ def houv_eval_main(cfg: Config, log) -> dict:
     scfg = HOUVConfig(
         kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
         retry_threshold=cfg.retry_threshold, angle_passes=cfg.angle_passes,
+        retry_mode=cfg.retry_mode, use_view_loss=cfg.use_view_loss,
+        reparam=cfg.houv_reparam, objective=cfg.houv_objective,
+        two_bracket=cfg.two_bracket,
     )
-    meters = {m: AverageValueMeter()
-              for m in ("RotE", "transE", "MSE", "RMSE", "recall", "GeoE")}
-    grid = SplitMeterGrid()
+    metric_names = ("RotE", "transE", "MSE", "RMSE", "recall", "GeoE")
+    meters = {m: AverageValueMeter() for m in metric_names}
+    grid = SplitMeterGrid(metrics=metric_names)
     bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
     key = jax.random.PRNGKey(cfg.manual_seed or 2021)
     t0 = time.time()
@@ -365,6 +368,9 @@ def test_main(argv=None):
             kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
             retry_threshold=cfg.retry_threshold,
             angle_passes=cfg.angle_passes,
+            retry_mode=cfg.retry_mode, use_view_loss=cfg.use_view_loss,
+            reparam=cfg.houv_reparam, objective=cfg.houv_objective,
+            two_bracket=cfg.two_bracket,
         )
         key = jax.random.PRNGKey(cfg.manual_seed or 2021)
         # Chunk pairs by batch_size: kernel-way restart expansion makes the

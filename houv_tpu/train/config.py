@@ -119,6 +119,13 @@ class Config:
     houv_lr: float = 0.1
     retry_threshold: float = 0.030
     angle_passes: int = 4
+    # solver ablation family (solvers/houv.py HOUVConfig; defaults = the
+    # canonical submission semantics)
+    retry_mode: str = "threshold"    # 'threshold' | 'always'
+    use_view_loss: bool = False
+    houv_reparam: str = "sine"       # 'sine' | 'sigmoid' | 'unconstrained' | 'v3'
+    houv_objective: str = "trunc"    # 'trunc' | 'multi_percent'
+    two_bracket: bool = False
 
     # parallel
     n_devices: int | None = None
