@@ -22,23 +22,24 @@ Array = jax.Array
 
 class PCNEncoder(nn.Module):
     """(B, N, 3) -> (B, output_size) global feature
-    (reference pcn.py:12-29)."""
+    (reference pcn.py:12-29). dtype: bf16 = AMP (params stay f32)."""
 
     output_size: int = 1024
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n = x.shape[1]
-        h = nn.relu(nn.Dense(128)(x))
-        h = nn.Dense(256)(h)
+        h = nn.relu(nn.Dense(128, dtype=self.dtype)(x))
+        h = nn.Dense(256, dtype=self.dtype)(h)
         g = max_pool_points(h)  # (B, 256) — carries the fusion-bug barrier
         h = jnp.concatenate(
             [h, jnp.broadcast_to(g[:, None, :], (h.shape[0], n, g.shape[-1]))],
             axis=-1,
         )
-        h = nn.relu(nn.Dense(512)(h))
-        h = nn.Dense(self.output_size)(h)
-        return max_pool_points(h)
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(h))
+        h = nn.Dense(self.output_size, dtype=self.dtype)(h)
+        return max_pool_points(h).astype(jnp.float32)
 
 
 class PCNEncoderLabel(nn.Module):
@@ -48,22 +49,24 @@ class PCNEncoderLabel(nn.Module):
     Returns (global_feature (B, output_size), point_feature (B, N, 1024))."""
 
     output_size: int = 1024
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, label: Array):
         n = x.shape[1]
-        h = nn.relu(nn.Dense(512)(x))
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
         em = nn.Embed(16, 256)(label)  # (B, 256)
-        g = jnp.concatenate([em, max_pool_points(h)], axis=-1)  # (B, 768)
+        g = jnp.concatenate(
+            [em.astype(h.dtype), max_pool_points(h)], axis=-1)  # (B, 768)
         h = jnp.concatenate(
             [h, jnp.broadcast_to(g[:, None, :], (h.shape[0], n, g.shape[-1]))],
             axis=-1,
         )
-        h = nn.relu(nn.Dense(512)(h))
-        h = nn.relu(nn.Dense(1024)(h))
-        point_feature = h
-        h = nn.Dense(self.output_size)(h)
-        return max_pool_points(h), point_feature
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(h))
+        h = nn.relu(nn.Dense(1024, dtype=self.dtype)(h))
+        point_feature = h.astype(jnp.float32)
+        h = nn.Dense(self.output_size, dtype=self.dtype)(h)
+        return max_pool_points(h).astype(jnp.float32), point_feature
 
 
 class PCNDecoder(nn.Module):
@@ -72,13 +75,15 @@ class PCNDecoder(nn.Module):
     num_coarse: int
     num_fine: int
     scale: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat: Array):
         b = feat.shape[0]
-        coarse = nn.relu(nn.Dense(1024)(feat))
-        coarse = nn.relu(nn.Dense(1024)(coarse))
-        coarse = nn.Dense(self.num_coarse * 3)(coarse).reshape(
+        coarse = nn.relu(nn.Dense(1024, dtype=self.dtype)(feat))
+        coarse = nn.relu(nn.Dense(1024, dtype=self.dtype)(coarse))
+        coarse = nn.Dense(self.num_coarse * 3, dtype=self.dtype)(
+            coarse).astype(jnp.float32).reshape(
             b, self.num_coarse, 3
         )
 
@@ -91,9 +96,10 @@ class PCNDecoder(nn.Module):
             feat[:, None, :], (b, self.num_fine, feat.shape[-1])
         )
         h = jnp.concatenate([grid_feat, point_feat, global_feat], axis=-1)
-        h = nn.relu(nn.Dense(512)(h))
-        h = nn.relu(nn.Dense(512)(h))
-        fine = nn.Dense(3)(h) + point_feat
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(h))
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(h))
+        fine = nn.Dense(3, dtype=self.dtype)(h).astype(
+            jnp.float32) + point_feat
         return coarse, fine
 
 
@@ -104,13 +110,16 @@ class PCN(nn.Module):
     num_coarse: int = 1024
     train_loss: str = "cd"
     eval_emd: bool = False
+    compute_dtype: str | None = None  # bf16 = AMP (params/losses f32)
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
                  prefix: str = "train", alpha: float | None = None):
         scale = self.num_points // self.num_coarse
-        feat = PCNEncoder()(x)
-        coarse, fine = PCNDecoder(self.num_coarse, self.num_points, scale)(feat)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        feat = PCNEncoder(dtype=dt)(x)
+        coarse, fine = PCNDecoder(self.num_coarse, self.num_points, scale,
+                                  dt)(feat)
 
         if prefix == "train":
             if self.train_loss == "emd":

@@ -96,7 +96,9 @@ class VRCNetKNN(nn.Module):
                  prefix: str = "train"):
         if label is None:
             label = jnp.zeros((x.shape[0],), jnp.int32)
-        feat, point_feat = PCNEncoderLabel(self.global_feature_size)(x, label)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        feat, point_feat = PCNEncoderLabel(
+            self.global_feature_size, dtype=dt)(x, label)
 
         if coords is not None:
             # Voxel branch: per-point 1024-d features scattered onto the 50³

@@ -44,7 +44,8 @@ def model_from_config(cfg: Config):
     name = cfg.model_name
     if name == "pcn":
         kw = dict(num_points=cfg.num_points, num_coarse=cfg.num_coarse,
-                  train_loss=cfg.loss, eval_emd=cfg.eval_emd)
+                  train_loss=cfg.loss, eval_emd=cfg.eval_emd,
+                  compute_dtype=cfg.compute_dtype)
     elif name == "ecg":
         kw = dict(num_points=cfg.num_points, num_coarse=cfg.num_coarse,
                   num_input=cfg.num_points, train_loss=cfg.loss,
