@@ -48,7 +48,7 @@ class SubMConv(nn.Module):
 
     out_channels: int
     kernel_size: tuple = (3, 3, 3)
-    compute_dtype: str | None = "bfloat16"  # MXU contraction dtype (f32 accum)
+    compute_dtype: str | None = None  # bf16: MXU contraction (f32 accum)
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
@@ -76,7 +76,7 @@ class SparseDownConv(nn.Module):
 
     out_channels: int
     stride: tuple = (2, 2, 2)
-    compute_dtype: str | None = "bfloat16"
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
@@ -121,21 +121,24 @@ class ResContextBlock(nn.Module):
 
     out_filters: int
     axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array, train: bool = False):
+        dt = self.compute_dtype
+
         def bn():
             return nn.BatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name)
 
-        shortcut = SubMConv(self.out_filters, (1, 3, 3))(sg, lookup)
+        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt)(sg, lookup)
         shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
-        shortcut = SubMConv(self.out_filters, (3, 1, 3))(shortcut, lookup)
+        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt)(shortcut, lookup)
         shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
 
-        res = SubMConv(self.out_filters, (3, 1, 3))(sg, lookup)
+        res = SubMConv(self.out_filters, (3, 1, 3), dt)(sg, lookup)
         res = _masked_bn(_act(res, nn.leaky_relu), bn())
-        res = SubMConv(self.out_filters, (1, 3, 3))(res, lookup)
+        res = SubMConv(self.out_filters, (1, 3, 3), dt)(res, lookup)
         res = _masked_bn(_act(res, nn.leaky_relu), bn())
         return SparseGrid(
             res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
@@ -148,24 +151,26 @@ class ResBlock(nn.Module):
 
     out_filters: int
     height_pooling: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array):
-        shortcut = SubMConv(self.out_filters, (3, 1, 3))(sg, lookup)
+        dt = self.compute_dtype
+        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt)(sg, lookup)
         shortcut = _act(shortcut, nn.leaky_relu)
-        shortcut = SubMConv(self.out_filters, (1, 3, 3))(shortcut, lookup)
+        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt)(shortcut, lookup)
         shortcut = _act(shortcut, nn.leaky_relu)
 
-        res = SubMConv(self.out_filters, (1, 3, 3))(sg, lookup)
+        res = SubMConv(self.out_filters, (1, 3, 3), dt)(sg, lookup)
         res = _act(res, nn.leaky_relu)
-        res = SubMConv(self.out_filters, (3, 1, 3))(res, lookup)
+        res = SubMConv(self.out_filters, (3, 1, 3), dt)(res, lookup)
         res = _act(res, nn.leaky_relu)
 
         res = SparseGrid(
             res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
         )
         stride = (2, 2, 2) if self.height_pooling else (2, 2, 1)
-        pooled = SparseDownConv(self.out_filters, stride)(res, lookup)
+        pooled = SparseDownConv(self.out_filters, stride, dt)(res, lookup)
         return pooled, res
 
 
@@ -173,12 +178,14 @@ class ReconBlock(nn.Module):
     """Dimension-wise sigmoid attention (reference :283-324)."""
 
     out_filters: int
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
-        a = _act(SubMConv(self.out_filters, (3, 1, 1))(sg, lookup), nn.sigmoid)
-        b = _act(SubMConv(self.out_filters, (1, 3, 1))(sg, lookup), nn.sigmoid)
-        c = _act(SubMConv(self.out_filters, (1, 1, 3))(sg, lookup), nn.sigmoid)
+        dt = self.compute_dtype
+        a = _act(SubMConv(self.out_filters, (3, 1, 1), dt)(sg, lookup), nn.sigmoid)
+        b = _act(SubMConv(self.out_filters, (1, 3, 1), dt)(sg, lookup), nn.sigmoid)
+        c = _act(SubMConv(self.out_filters, (1, 1, 3), dt)(sg, lookup), nn.sigmoid)
         att = a.features + b.features + c.features
         return SparseGrid(att * sg.features, sg.coords, sg.mask, sg.grid_size)
 
@@ -190,6 +197,7 @@ class SparseBasicBlock(nn.Module):
 
     out_filters: int
     axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array, train: bool = False):
@@ -198,9 +206,9 @@ class SparseBasicBlock(nn.Module):
                                 axis_name=self.axis_name)
 
         identity = sg.features
-        h = SubMConv(self.out_filters, (3, 3, 3))(sg, lookup)
+        h = SubMConv(self.out_filters, (3, 3, 3), self.compute_dtype)(sg, lookup)
         h = _masked_bn(_act(h, nn.relu), bn())
-        h = SubMConv(self.out_filters, (3, 3, 3))(h, lookup)
+        h = SubMConv(self.out_filters, (3, 3, 3), self.compute_dtype)(h, lookup)
         h = _masked_bn(h, bn())
         if identity.shape[-1] != self.out_filters:
             identity = nn.Dense(self.out_filters, use_bias=False)(identity)
@@ -270,7 +278,7 @@ class DenseSubMConv(nn.Module):
 
     out_channels: int
     kernel_size: tuple = (3, 3, 3)
-    compute_dtype: str | None = "bfloat16"
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, occ: Array) -> Array:
@@ -289,17 +297,19 @@ class DenseResBlock(nn.Module):
 
     out_filters: int
     height_pooling: bool = True
-    compute_dtype: str | None = "bfloat16"
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, occ: Array):
+        dt = self.compute_dtype
         shortcut = nn.leaky_relu(
-            DenseSubMConv(self.out_filters, (3, 1, 3))(x, occ))
+            DenseSubMConv(self.out_filters, (3, 1, 3), dt)(x, occ))
         shortcut = nn.leaky_relu(
-            DenseSubMConv(self.out_filters, (1, 3, 3))(shortcut, occ))
-        res = nn.leaky_relu(DenseSubMConv(self.out_filters, (1, 3, 3))(x, occ))
+            DenseSubMConv(self.out_filters, (1, 3, 3), dt)(shortcut, occ))
         res = nn.leaky_relu(
-            DenseSubMConv(self.out_filters, (3, 1, 3))(res, occ))
+            DenseSubMConv(self.out_filters, (1, 3, 3), dt)(x, occ))
+        res = nn.leaky_relu(
+            DenseSubMConv(self.out_filters, (3, 1, 3), dt)(res, occ))
         res = res + shortcut
         stride = (2, 2, 2) if self.height_pooling else (2, 2, 1)
         w = self.param(
@@ -318,12 +328,14 @@ class DenseReconBlock(nn.Module):
     """Dimension-wise sigmoid attention on a dense volume."""
 
     out_filters: int
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, occ: Array) -> Array:
-        a = nn.sigmoid(DenseSubMConv(self.out_filters, (3, 1, 1))(x, occ))
-        b = nn.sigmoid(DenseSubMConv(self.out_filters, (1, 3, 1))(x, occ))
-        c = nn.sigmoid(DenseSubMConv(self.out_filters, (1, 1, 3))(x, occ))
+        dt = self.compute_dtype
+        a = nn.sigmoid(DenseSubMConv(self.out_filters, (3, 1, 1), dt)(x, occ))
+        b = nn.sigmoid(DenseSubMConv(self.out_filters, (1, 3, 1), dt)(x, occ))
+        c = nn.sigmoid(DenseSubMConv(self.out_filters, (1, 1, 3), dt)(x, occ))
         return (a + b + c) * x
 
 
@@ -353,32 +365,41 @@ class Asymm3DSpconv(nn.Module):
     grid_size: int = 50
     axis_name: str | None = None
     dense_from: int = 13
+    # bf16 by default: the TPU sparse path (coordinate-match einsums,
+    # ops/sparse_conv.py) is designed around a low-precision compute dtype
+    # and was benchmarked at bf16 (BENCH_NOTES r3). None = full-f32
+    # reference numerics via the gather path (CPU golden tests).
+    compute_dtype: str | None = "bfloat16"
 
     @nn.compact
     def __call__(self, grid_ind: Array, point_features: Array,
                  train: bool = False) -> Array:
         c = 4 * self.init_size
+        dt = self.compute_dtype
         sg = from_point_voxels(grid_ind, point_features, self.grid_size)
 
         lk = build_lookup(sg)
-        sg = ResContextBlock(c, self.axis_name)(sg, lk, train)
+        sg = ResContextBlock(c, self.axis_name, dt)(sg, lk, train)
 
-        down1, _ = ResBlock(c, height_pooling=True)(sg, lk)
+        down1, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(sg, lk)
         lk1 = build_lookup(down1)
-        down2, _ = ResBlock(c, height_pooling=True)(down1, lk1)
+        down2, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(
+            down1, lk1)
 
         if down2.grid_size <= self.dense_from:
             # sparse subm convs at 25³ are still cheaper; densify at 13³
             dn, occ = sparse_to_dense(down2)
-            (down3, occ3), _ = DenseResBlock(c, height_pooling=True)(dn, occ)
-            down4 = DenseReconBlock(c)(down3, occ3)
+            (down3, occ3), _ = DenseResBlock(
+                c, height_pooling=True, compute_dtype=dt)(dn, occ)
+            down4 = DenseReconBlock(c, dt)(down3, occ3)
             a = dense_masked_max(down3, occ3)
             b = dense_masked_max(down4, occ3)
         else:
             lk2 = build_lookup(down2)
-            down3, _ = ResBlock(c, height_pooling=True)(down2, lk2)
+            down3, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(
+                down2, lk2)
             lk3 = build_lookup(down3)
-            down4 = ReconBlock(c)(down3, lk3)
+            down4 = ReconBlock(c, dt)(down3, lk3)
             a = masked_max(down3)  # (B, 4·init)
             b = masked_max(down4)
         return jnp.concatenate([a, b], axis=-1)  # (B, 8·init)

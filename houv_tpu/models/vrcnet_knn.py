@@ -89,6 +89,9 @@ class VRCNetKNN(nn.Module):
     axis_name: str | None = None
     remat: bool = False  # remat the SA-SKN units (2x batch headroom)
     compute_dtype: str | None = None  # bf16 = AMP in the SA-SKN encoder
+    # voxel branch compute dtype (see models/voxelnet.Asymm3DSpconv:
+    # bf16 is the benchmarked TPU design point; None = f32 gather path)
+    voxel_compute_dtype: str | None = "bfloat16"
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
@@ -105,7 +108,8 @@ class VRCNetKNN(nn.Module):
             # grid (replaces the batch-flattened F.pad(coords) + spconv path,
             # reference :466-481 — batching is native here, no index packing).
             feat_voxel = Asymm3DSpconv(
-                self.voxel_init_size, self.voxel_grid_size, self.axis_name
+                self.voxel_init_size, self.voxel_grid_size, self.axis_name,
+                compute_dtype=self.voxel_compute_dtype,
             )(coords, point_feat, train=(prefix == "train"))
         else:
             feat_voxel = jnp.zeros(

@@ -114,30 +114,31 @@ def build_lookup(sg: SparseGrid) -> Array:
     return jax.vmap(single)(flat, rows)
 
 
-def _gather_all_neighbors(features: Array, feat_mask: Array, lookup: Array,
+def _gather_all_neighbors(features: Array, lookup: Array,
                           base_coords: Array, base_mask: Array,
                           offsets, grid_size: int):
-    """Neighbor features for ALL kernel offsets in one pass.
+    """Neighbor features for ALL kernel offsets in one pass (the CPU /
+    full-f32 path; the TPU bf16 path is ``_match_conv``).
 
     One (B, V·K) row lookup + one (B, V·K, C) feature gather + masking —
     instead of K separate gather/einsum pairs (the r2 structure emitted
     ~230 unrolled gather+matmul blocks across the voxel encoder, 649 MB
     of generated TPU code). Returns (B, V, K, C), zeros where absent.
+    Source-row validity comes entirely from the lookup (invalid rows are
+    -1 there); ``base_mask`` masks the convolved sites.
 
-    features/feat_mask: the SOURCE voxel list the lookup indexes into;
+    features: the SOURCE voxel list the lookup indexes into;
     base_coords/base_mask: the (possibly different-resolution) sites being
     convolved; grid_size: source grid extent.
     """
     g = grid_size
     b, v, _ = base_coords.shape
     k = len(offsets)
-    off = jnp.asarray(offsets, jnp.int32)                     # (K, 3)
-    nc = base_coords[:, :, None, :] + off[None, None]         # (B, V, K, 3)
-    in_bounds = jnp.all((nc >= 0) & (nc < g), axis=-1) & base_mask[..., None]
-    flat = (nc[..., 0] * g + nc[..., 1]) * g + nc[..., 2]     # (B, V, K)
-    flat = jnp.where(in_bounds, flat, 0)
-    rows = jnp.take_along_axis(lookup, flat.reshape(b, v * k), axis=1)
-    valid = in_bounds & (rows.reshape(b, v, k) >= 0)
+    flat = _neighbor_query_flat(base_coords, base_mask, offsets, g)
+    rows = jnp.take_along_axis(
+        lookup, jnp.maximum(flat, 0).reshape(b, v * k), axis=1
+    )
+    valid = (flat >= 0) & (rows.reshape(b, v, k) >= 0)
     safe = jnp.where(valid, rows.reshape(b, v, k), 0)
     feats = jnp.take_along_axis(
         features, safe.reshape(b, v * k)[..., None], axis=1
@@ -258,7 +259,7 @@ def subm_conv(
         out = _match_conv(feats, src_flat, qf, weights, compute_dtype)
         return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
     nb = _gather_all_neighbors(
-        feats, sg.mask, lookup, sg.coords, sg.mask, offsets, sg.grid_size,
+        feats, lookup, sg.coords, sg.mask, offsets, sg.grid_size,
     )                                                          # (B, V, K, C)
     out = _conv_contract(nb, weights, compute_dtype)
     return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
@@ -342,7 +343,7 @@ def sparse_conv_down_features(
         qf = _neighbor_query_flat(base, out_mask, offsets, g)
         return _match_conv(feats, src_flat, qf, weights, compute_dtype)
     nb = _gather_all_neighbors(
-        feats, sg.mask, lookup, base,
+        feats, lookup, base,
         out_mask, offsets, sg.grid_size,
     )                                                          # (B, V, 27, C)
     return _conv_contract(nb, weights, compute_dtype)

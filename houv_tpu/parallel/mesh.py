@@ -132,8 +132,10 @@ def sharded_houv_solve_2d(
         houv_pass,
         init_params,
         rt_to_transformation,
+        voxel_downsample_clouds,
     )
 
+    src, tgt = voxel_downsample_clouds(src, tgt, cfg)
     n_data = mesh.shape["data"]
     n_restart = mesh.shape["restart"]
     if src.shape[0] % n_data:
@@ -154,11 +156,20 @@ def sharded_houv_solve_2d(
         di = jax.lax.axis_index("data")
         ri = jax.lax.axis_index("restart")
         my_key = jax.random.fold_in(key_l[0], di)
-        if n_restart > 1:  # degenerate mesh reproduces the 1-D fold exactly
-            my_key = jax.random.fold_in(my_key, ri)
-        params0 = init_params(
-            my_key, src_l.shape[0], local_cfg.kernel,
-            local_cfg.lattice_init, local_cfg.two_bracket
+        # Initialize the FULL kernel-wide parameter set (identical to what
+        # a 1-D data shard would draw) and slice this shard's restart rows:
+        # the 26-axis lattice is PARTITIONED across restart shards instead
+        # of duplicated (duplication re-optimized lattice axes 0..lk n_r
+        # times and never tried the rest). n_restart=1 degenerates to the
+        # 1-D initialization bit-for-bit.
+        params_full = init_params(
+            my_key, src_l.shape[0], cfg.kernel,
+            cfg.lattice_init, cfg.two_bracket
+        )
+        lk = local_cfg.kernel
+        params0 = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, ri * lk, lk, axis=1),
+            params_full,
         )
         min_1, r, t = houv_pass(src_l, tgt_l, params0, 0, local_cfg)
         lb, _ = _best_restart(min_1, local_cfg)        # (Bl,) local best

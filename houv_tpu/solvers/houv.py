@@ -413,6 +413,11 @@ def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
         raise NotImplementedError(
             "objective='multi_percent' requires grad_mode='gather'"
         )
+    if cfg.select_percent is not None:
+        raise NotImplementedError(
+            "select_percent requires grad_mode='gather' (the scatter path "
+            "has no spare NN pass to rank with)"
+        )
     return _objective_scatter(params, src, tgt, angle_base, cfg)
 
 
@@ -463,6 +468,33 @@ def houv_pass(
                          cfg.rotation_mode, cfg.two_bracket)
     return min_1, r, t
 
+def voxel_downsample_clouds(src: Array, tgt: Array, cfg: HOUVConfig):
+    """getPredict_cd_vox-style input reduction (train_utils.py:762-863):
+    voxel-mean the clouds before optimizing. Empty-voxel rows are
+    zero-padded; they sit far from both clouds only if the data is
+    centered, so we fall back to repeating the first rows instead.
+    Shared by houv_solve / houv_solve_chunked / the 2-D mesh path so the
+    ablation means the same thing everywhere."""
+    if not cfg.voxel_downsample:
+        return src, tgt
+    from houv_tpu.ops.voxel import voxelize_mean
+
+    def reduce(cloud):
+        vp, cnt = voxelize_mean(
+            cloud,
+            grid_size=cfg.voxel_downsample,
+            min_bound=float(-1.0),
+            max_bound=float(1.0),
+        )
+        n = vp.shape[1]
+        rows = jnp.arange(n)[None, :]
+        src_rows = rows % jnp.maximum(cnt[:, None], 1)
+        return jnp.take_along_axis(vp, src_rows[..., None], axis=1)
+
+    return reduce(src), reduce(tgt)
+
+
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig()):
@@ -479,28 +511,7 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     pair needs it) and merged with ``jnp.where`` — same results, no host
     round-trips, and shard_map-compatible.
     """
-    if cfg.voxel_downsample:
-        # getPredict_cd_vox-style input reduction (train_utils.py:762-863):
-        # voxel-mean the clouds before optimizing. Empty-voxel rows are
-        # zero-padded; they sit far from both clouds only if the data is
-        # centered, so we fall back to repeating the first rows instead.
-        from houv_tpu.ops.voxel import voxelize_mean
-
-        def reduce(cloud):
-            vp, cnt = voxelize_mean(
-                cloud,
-                grid_size=cfg.voxel_downsample,
-                min_bound=float(-1.0),
-                max_bound=float(1.0),
-            )
-            n = vp.shape[1]
-            rows = jnp.arange(n)[None, :]
-            src_rows = rows % jnp.maximum(cnt[:, None], 1)
-            return jnp.take_along_axis(vp, src_rows[..., None], axis=1)
-
-        src = reduce(src)
-        tgt = reduce(tgt)
-
+    src, tgt = voxel_downsample_clouds(src, tgt, cfg)
     params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init,
                          cfg.two_bracket)
 
@@ -587,6 +598,7 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
     500-step loop is split into jitted segments and the retry logic runs on
     the host (like the reference's solve), so no dispatch exceeds ~10s and
     retry passes only run when some pair actually needs them."""
+    src, tgt = voxel_downsample_clouds(src, tgt, cfg)
     params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init,
                          cfg.two_bracket)
 

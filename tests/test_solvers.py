@@ -390,3 +390,27 @@ def test_select_percent_metric():
     # full-CD metric >= 50%-truncated metric (keeping more distances)
     assert (np.asarray(m1) >= np.asarray(m0) - 1e-6).all()
     assert not np.allclose(np.asarray(m0), np.asarray(m1))
+
+
+def test_voxel_downsample_chunked_parity():
+    """houv_solve_chunked and houv_solve apply the same voxel_downsample
+    preprocessing (r3 review finding: chunked ignored the field)."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.solvers.houv import (
+        HOUVConfig, houv_solve, houv_solve_chunked)
+
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32)) * 0.4
+    tgt = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32)) * 0.4
+    cfg = HOUVConfig(kernel=4, steps=8, angle_passes=1, use_pallas=False,
+                     voxel_downsample=8)
+    key = jax.random.PRNGKey(0)
+    a = houv_solve(src, tgt, key, cfg)
+    b = houv_solve_chunked(src, tgt, key, cfg, step_chunk=4)
+    np.testing.assert_allclose(np.asarray(a["rmse"]), np.asarray(b["rmse"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["transform"]),
+                               np.asarray(b["transform"]),
+                               rtol=1e-3, atol=1e-4)
