@@ -49,7 +49,7 @@ def model_from_config(cfg: Config):
     elif name == "ecg":
         kw = dict(num_points=cfg.num_points, num_coarse=cfg.num_coarse,
                   num_input=cfg.num_points, train_loss=cfg.loss,
-                  eval_emd=cfg.eval_emd)
+                  eval_emd=cfg.eval_emd, compute_dtype=cfg.compute_dtype)
     elif name == "vrcnet":
         kw = dict(num_points=cfg.num_points, num_coarse_raw=cfg.num_coarse_raw,
                   num_fps=cfg.num_fps, num_coarse=cfg.num_coarse,
