@@ -40,15 +40,18 @@ class SubMConv(nn.Module):
     """Submanifold conv layer with a factorized kernel (no bias, like the
     reference's conv1x3/conv3x1/... constructors).
 
-    The conv body runs under ``jax.checkpoint``: the (B, V, K, C) gathered-
-    neighbor tensor is REGATHERED in the backward instead of saved — these
-    residuals were the voxel branch's HBM cap (11.5 G at B=16; the gather
-    recompute costs ~ms). Checkpointing the pure op function keeps flax
-    param paths unchanged."""
+    With ``remat=True`` the conv body runs under ``jax.checkpoint``: the
+    (B, V, K, C) gathered-neighbor tensor is REGATHERED in the backward
+    instead of saved — these residuals were the voxel branch's HBM cap
+    (11.5 G at B=16; the gather recompute costs ~ms). Checkpointing the
+    pure op function keeps flax param paths unchanged. ``remat=False``
+    saves the residuals and skips the backward regather einsums — faster
+    when HBM headroom allows (the match-conv einsum path fits B=16)."""
 
     out_channels: int
     kernel_size: tuple = (3, 3, 3)
     compute_dtype: str | None = None  # bf16: MXU contraction (f32 accum)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
@@ -66,7 +69,8 @@ class SubMConv(nn.Module):
                 compute_dtype=self.compute_dtype,
             ).features
 
-        out = jax.checkpoint(body)(sg.features, w)
+        run = jax.checkpoint(body) if self.remat else body
+        out = run(sg.features, w)
         return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
 
 
@@ -77,6 +81,7 @@ class SparseDownConv(nn.Module):
     out_channels: int
     stride: tuple = (2, 2, 2)
     compute_dtype: str | None = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
@@ -99,7 +104,8 @@ class SparseDownConv(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
 
-        feats = jax.checkpoint(body)(sg.features, w)
+        run = jax.checkpoint(body) if self.remat else body
+        feats = run(sg.features, w)
         return SparseGrid(feats, out_coords, out_mask, out_g)
 
 
@@ -122,23 +128,26 @@ class ResContextBlock(nn.Module):
     out_filters: int
     axis_name: str | None = None
     compute_dtype: str | None = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array, train: bool = False):
         dt = self.compute_dtype
+        rm = self.remat
 
         def bn():
             return nn.BatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name)
 
-        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt)(sg, lookup)
+        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt, rm)(sg, lookup)
         shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
-        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt)(shortcut, lookup)
+        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt, rm)(
+            shortcut, lookup)
         shortcut = _masked_bn(_act(shortcut, nn.leaky_relu), bn())
 
-        res = SubMConv(self.out_filters, (3, 1, 3), dt)(sg, lookup)
+        res = SubMConv(self.out_filters, (3, 1, 3), dt, rm)(sg, lookup)
         res = _masked_bn(_act(res, nn.leaky_relu), bn())
-        res = SubMConv(self.out_filters, (1, 3, 3), dt)(res, lookup)
+        res = SubMConv(self.out_filters, (1, 3, 3), dt, rm)(res, lookup)
         res = _masked_bn(_act(res, nn.leaky_relu), bn())
         return SparseGrid(
             res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
@@ -152,25 +161,28 @@ class ResBlock(nn.Module):
     out_filters: int
     height_pooling: bool = True
     compute_dtype: str | None = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array):
         dt = self.compute_dtype
-        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt)(sg, lookup)
+        rm = self.remat
+        shortcut = SubMConv(self.out_filters, (3, 1, 3), dt, rm)(sg, lookup)
         shortcut = _act(shortcut, nn.leaky_relu)
-        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt)(shortcut, lookup)
+        shortcut = SubMConv(self.out_filters, (1, 3, 3), dt, rm)(
+            shortcut, lookup)
         shortcut = _act(shortcut, nn.leaky_relu)
 
-        res = SubMConv(self.out_filters, (1, 3, 3), dt)(sg, lookup)
+        res = SubMConv(self.out_filters, (1, 3, 3), dt, rm)(sg, lookup)
         res = _act(res, nn.leaky_relu)
-        res = SubMConv(self.out_filters, (3, 1, 3), dt)(res, lookup)
+        res = SubMConv(self.out_filters, (3, 1, 3), dt, rm)(res, lookup)
         res = _act(res, nn.leaky_relu)
 
         res = SparseGrid(
             res.features + shortcut.features, sg.coords, sg.mask, sg.grid_size
         )
         stride = (2, 2, 2) if self.height_pooling else (2, 2, 1)
-        pooled = SparseDownConv(self.out_filters, stride, dt)(res, lookup)
+        pooled = SparseDownConv(self.out_filters, stride, dt, rm)(res, lookup)
         return pooled, res
 
 
@@ -179,13 +191,18 @@ class ReconBlock(nn.Module):
 
     out_filters: int
     compute_dtype: str | None = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, sg: SparseGrid, lookup: Array) -> SparseGrid:
         dt = self.compute_dtype
-        a = _act(SubMConv(self.out_filters, (3, 1, 1), dt)(sg, lookup), nn.sigmoid)
-        b = _act(SubMConv(self.out_filters, (1, 3, 1), dt)(sg, lookup), nn.sigmoid)
-        c = _act(SubMConv(self.out_filters, (1, 1, 3), dt)(sg, lookup), nn.sigmoid)
+        rm = self.remat
+        a = _act(SubMConv(self.out_filters, (3, 1, 1), dt, rm)(sg, lookup),
+                 nn.sigmoid)
+        b = _act(SubMConv(self.out_filters, (1, 3, 1), dt, rm)(sg, lookup),
+                 nn.sigmoid)
+        c = _act(SubMConv(self.out_filters, (1, 1, 3), dt, rm)(sg, lookup),
+                 nn.sigmoid)
         att = a.features + b.features + c.features
         return SparseGrid(att * sg.features, sg.coords, sg.mask, sg.grid_size)
 
@@ -370,21 +387,26 @@ class Asymm3DSpconv(nn.Module):
     # and was benchmarked at bf16 (BENCH_NOTES r3). None = full-f32
     # reference numerics via the gather path (CPU golden tests).
     compute_dtype: str | None = "bfloat16"
+    # conv_remat=True regathers neighbor tensors in the backward (HBM
+    # headroom); False saves them and skips the backward regather einsums.
+    conv_remat: bool = True
 
     @nn.compact
     def __call__(self, grid_ind: Array, point_features: Array,
                  train: bool = False) -> Array:
         c = 4 * self.init_size
         dt = self.compute_dtype
+        rm = self.conv_remat
         sg = from_point_voxels(grid_ind, point_features, self.grid_size)
 
         lk = build_lookup(sg)
-        sg = ResContextBlock(c, self.axis_name, dt)(sg, lk, train)
+        sg = ResContextBlock(c, self.axis_name, dt, rm)(sg, lk, train)
 
-        down1, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(sg, lk)
+        down1, _ = ResBlock(c, height_pooling=True, compute_dtype=dt,
+                            remat=rm)(sg, lk)
         lk1 = build_lookup(down1)
-        down2, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(
-            down1, lk1)
+        down2, _ = ResBlock(c, height_pooling=True, compute_dtype=dt,
+                            remat=rm)(down1, lk1)
 
         if down2.grid_size <= self.dense_from:
             # sparse subm convs at 25³ are still cheaper; densify at 13³
@@ -396,10 +418,10 @@ class Asymm3DSpconv(nn.Module):
             b = dense_masked_max(down4, occ3)
         else:
             lk2 = build_lookup(down2)
-            down3, _ = ResBlock(c, height_pooling=True, compute_dtype=dt)(
-                down2, lk2)
+            down3, _ = ResBlock(c, height_pooling=True, compute_dtype=dt,
+                                remat=rm)(down2, lk2)
             lk3 = build_lookup(down3)
-            down4 = ReconBlock(c, dt)(down3, lk3)
+            down4 = ReconBlock(c, dt, rm)(down3, lk3)
             a = masked_max(down3)  # (B, 4·init)
             b = masked_max(down4)
         return jnp.concatenate([a, b], axis=-1)  # (B, 8·init)

@@ -92,6 +92,9 @@ class VRCNetKNN(nn.Module):
     # voxel branch compute dtype (see models/voxelnet.Asymm3DSpconv:
     # bf16 is the benchmarked TPU design point; None = f32 gather path)
     voxel_compute_dtype: str | None = "bfloat16"
+    # remat the voxel-branch conv bodies (regather in backward). False
+    # saves the neighbor tensors — faster when HBM headroom allows.
+    voxel_conv_remat: bool = True
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
@@ -110,6 +113,7 @@ class VRCNetKNN(nn.Module):
             feat_voxel = Asymm3DSpconv(
                 self.voxel_init_size, self.voxel_grid_size, self.axis_name,
                 compute_dtype=self.voxel_compute_dtype,
+                conv_remat=self.voxel_conv_remat,
             )(coords, point_feat, train=(prefix == "train"))
         else:
             feat_voxel = jnp.zeros(

@@ -103,6 +103,10 @@ class Config:
     # remat the SA-SKN units (batch headroom; note: changes flax module
     # paths, so checkpoints are not interchangeable with use_remat=False)
     use_remat: bool = False
+    # remat voxel-branch conv bodies (backward regather). False = save
+    # residuals instead — faster when HBM headroom allows (param paths
+    # unaffected: the checkpoint wraps the pure op, not the module).
+    voxel_conv_remat: bool = True
     grid_size: int = 50              # voxel branch grid (50³, dataset.py:264)
     voxel_init_size: int = 128       # Asymm3DSpconv init channel width
     use_rri: bool = True

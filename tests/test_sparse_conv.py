@@ -241,3 +241,28 @@ def test_hybrid_encoder_runs(rng):
     out = enc.apply(vars_, grid_ind, pf, train=False)
     assert out.shape == (2, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_remat_gradient_parity(rng):
+    """conv_remat only changes WHAT the backward saves, never the math:
+    params, forward, and gradients are identical with remat on/off."""
+    import jax
+    from houv_tpu.models.voxelnet import Asymm3DSpconv
+
+    grid_ind = jnp.asarray(rng.integers(0, 10, (2, 48, 3)).astype(np.int32))
+    pf = jnp.asarray(rng.standard_normal((2, 48, 8)).astype(np.float32))
+    kw = dict(init_size=4, grid_size=10, dense_from=0, compute_dtype=None)
+    enc_r = Asymm3DSpconv(conv_remat=True, **kw)
+    enc_n = Asymm3DSpconv(conv_remat=False, **kw)
+    vars_ = enc_r.init(jax.random.PRNGKey(0), grid_ind, pf, train=False)
+
+    def loss(enc, p):
+        return enc.apply({"params": p, **{k: v for k, v in vars_.items()
+                                          if k != "params"}},
+                         grid_ind, pf, train=False).sum()
+
+    g_r = jax.grad(lambda p: loss(enc_r, p))(vars_["params"])
+    g_n = jax.grad(lambda p: loss(enc_n, p))(vars_["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_n)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
