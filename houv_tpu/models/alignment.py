@@ -57,6 +57,7 @@ class AlignmentClassifier(nn.Module):
     grid_size: int = 50
     init_size: int = 32
     axis_name: str | None = None
+    compute_dtype: str | None = None  # bf16 = AMP in the conv trunk
 
     @nn.compact
     def __call__(self, src_moved: Array, tgt: Array,
@@ -77,13 +78,16 @@ class AlignmentClassifier(nn.Module):
         sg = from_point_voxels(coords, feats, self.grid_size)
         lk = build_lookup(sg)
         c = self.init_size
-        sg = ResContextBlock(c, self.axis_name)(sg, lk, train)
-        down1, _ = ResBlock(c * 2, height_pooling=True)(sg, lk)
+        dt = self.compute_dtype
+        sg = ResContextBlock(c, self.axis_name, dt)(sg, lk, train)
+        down1, _ = ResBlock(c * 2, height_pooling=True,
+                            compute_dtype=dt)(sg, lk)
         lk1 = build_lookup(down1)
-        down2, _ = ResBlock(c * 4, height_pooling=True)(down1, lk1)
+        down2, _ = ResBlock(c * 4, height_pooling=True,
+                            compute_dtype=dt)(down1, lk1)
         g = masked_max(down2)  # (B, 4c)
         h = nn.relu(nn.Dense(128)(g))
-        return nn.Dense(1)(h)[..., 0]  # logits (B,)
+        return nn.Dense(1)(h)[..., 0]  # logits (B,) f32
 
 
 def alignment_bce_loss(logits: Array, labels: Array) -> Array:
@@ -103,17 +107,21 @@ class VoxAsym(nn.Module):
     embedding_dim: int = 64
     init_size: int = 32
     axis_name: str | None = None
+    compute_dtype: str | None = None  # bf16 = AMP (heads/softmax f32)
 
     @nn.compact
     def __call__(self, points: Array, coords: Array, train: bool = False):
         """points (B, N, 3), coords (B, N, 3) int voxel indices ->
         (probs (B, V, 2), positions (B, V, 3), voxel_coords (B, V, 3),
         mask (B, V))."""
-        pt_fea = PointMLP((64, self.embedding_dim), relu_last=True)(points)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        pt_fea = PointMLP((64, self.embedding_dim), relu_last=True,
+                          dtype=dt)(points)
         sg = from_point_voxels(coords, pt_fea, self.grid_size)
         lk = build_lookup(sg)
         c = self.init_size
-        h = ResContextBlock(c, self.axis_name)(sg, lk, train)
+        h = ResContextBlock(c, self.axis_name, self.compute_dtype)(
+            sg, lk, train)
         pred = nn.Dense(5)(h.features)  # 2 class logits + 3 position dims
         probs = jax.nn.softmax(pred[..., :2], axis=-1)
         pos = pred[..., 2:]

@@ -39,26 +39,31 @@ Array = jax.Array
 
 class PointMLP(nn.Module):
     """Per-point MLP over (B, N, C) — the reference's stacks of
-    Conv1d(kernel=1)+ReLU. relu_last controls the final activation."""
+    Conv1d(kernel=1)+ReLU. relu_last controls the final activation.
+
+    dtype: compute dtype (bf16 = AMP; params and BN stats stay f32, the
+    output is cast back to f32 at the module boundary)."""
 
     features: Sequence[int]
     relu_last: bool = False
     use_bn: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             last = i == len(self.features) - 1
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                 )(x)
             if not last or self.relu_last:
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 def max_pool_points(x: Array) -> Array:

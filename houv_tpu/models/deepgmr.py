@@ -115,21 +115,23 @@ class GMRBackbone(nn.Module):
     num_groups: int = 16
     use_bn: bool = True
     axis_name: str | None = None
+    dtype: object = None  # bf16 = AMP (params/BN stats f32, logits f32)
 
     @nn.compact
     def __call__(self, feats: Array, train: bool = False) -> Array:
         n = feats.shape[1]
         enc = PointMLP((64, 128, 256, 1024), relu_last=True,
-                       use_bn=self.use_bn, axis_name=self.axis_name)
+                       use_bn=self.use_bn, axis_name=self.axis_name,
+                       dtype=self.dtype)
         f_loc = enc(feats, train)
         f_glob = max_pool_points(f_loc)
         h = jnp.concatenate(
             [f_loc, jnp.broadcast_to(f_glob[:, None], f_loc.shape)], axis=-1
         )
         dec = PointMLP((512, 256, 128), relu_last=True, use_bn=self.use_bn,
-                       axis_name=self.axis_name)
+                       axis_name=self.axis_name, dtype=self.dtype)
         h = dec(h, train)
-        return nn.Dense(self.num_groups)(h)  # logits (B, N, J)
+        return nn.Dense(self.num_groups)(h)  # logits (B, N, J) f32
 
 
 class DeepGMR(nn.Module):
@@ -139,6 +141,9 @@ class DeepGMR(nn.Module):
     use_rri: bool = True
     rri_size: int = 20
     axis_name: str | None = None
+    # bf16 = AMP in the PointNet backbone only; RRI features, the GMM
+    # closed forms, SVD, and losses stay f32 (registration numerics).
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, src: Array, tgt: Array, t_gt: Array | None = None,
@@ -151,7 +156,9 @@ class DeepGMR(nn.Module):
             feats1 = pts1 - pts1.mean(axis=1, keepdims=True)
             feats2 = pts2 - pts2.mean(axis=1, keepdims=True)
 
-        backbone = GMRBackbone(self.num_groups, axis_name=self.axis_name)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        backbone = GMRBackbone(self.num_groups, axis_name=self.axis_name,
+                               dtype=dt)
         gamma1 = jax.nn.softmax(backbone(feats1, train), axis=-1)
         gamma2 = jax.nn.softmax(backbone(feats2, train), axis=-1)
         pi1, mu1, sigma1 = gmm_params(gamma1, pts1)

@@ -30,19 +30,24 @@ class InstanceEmbedding(nn.Module):
     embedding_size: int = 32
     nclasses: int = 16
     use_attention: bool = False
+    compute_dtype: str | None = None  # bf16 = AMP (params f32)
 
     @nn.compact
     def __call__(self, x: Array):
-        h = PointMLP((64, 128, 256), relu_last=True)(x)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        h = PointMLP((64, 128, 256), relu_last=True, dtype=dt)(x)
         if self.use_attention:  # Embedding_Transformer variant
-            h = h + MultiHeadAttention(8, 256)(h, h, h)
+            h = h + MultiHeadAttention(8, 256, dt)(h, h, h).astype(h.dtype)
         g = max_pool_points(h)  # (B, 256)
-        g = nn.relu(nn.Dense(256)(g))
-        emb = nn.Dense(self.embedding_size)(g)
+        g = nn.relu(nn.Dense(256, dtype=dt)(g))
+        # embedding head in f32: the L2-normalized descriptor feeds kNN
+        # distance mining, where bf16 quantization costs recall
+        emb = nn.Dense(self.embedding_size)(g.astype(jnp.float32))
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
         )
-        logits = nn.Dense(self.nclasses)(nn.relu(nn.Dense(512)(g)))
+        logits = nn.Dense(self.nclasses)(
+            nn.relu(nn.Dense(512, dtype=dt)(g)).astype(jnp.float32))
         return emb, logits
 
 
@@ -65,34 +70,36 @@ class TransformerRegressor(nn.Module):
     d_model: int = 256
     n_heads: int = 4
     n_layers: int = 2
+    dtype: object = None  # bf16 = AMP (params f32, coordinates out f32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, n, _ = x.shape
-        feats = PointMLP((64, self.d_model), relu_last=True)(x)
+        dt = self.dtype
+        feats = PointMLP((64, self.d_model), relu_last=True, dtype=dt)(x)
         idx = furthest_point_sample(x, self.num_latent)
         latent = jnp.take_along_axis(feats, idx[..., None], axis=1)
         for _ in range(self.n_layers):
-            h = nn.LayerNorm()(latent)
-            latent = latent + MultiHeadAttention(self.n_heads, self.d_model)(
-                h, h, h
-            )
-            h = nn.LayerNorm()(latent)
-            latent = latent + MultiHeadAttention(self.n_heads, self.d_model)(
-                h, feats, feats
-            )
-            h = nn.LayerNorm()(latent)
-            latent = latent + nn.Dense(self.d_model)(
-                nn.relu(nn.Dense(self.d_model * 2)(h))
-            )
+            h = nn.LayerNorm(dtype=dt)(latent)
+            latent = latent + MultiHeadAttention(
+                self.n_heads, self.d_model, dt)(h, h, h).astype(latent.dtype)
+            h = nn.LayerNorm(dtype=dt)(latent)
+            latent = latent + MultiHeadAttention(
+                self.n_heads, self.d_model, dt)(
+                    h, feats, feats).astype(latent.dtype)
+            h = nn.LayerNorm(dtype=dt)(latent)
+            latent = latent + nn.Dense(self.d_model, dtype=dt)(
+                nn.relu(nn.Dense(self.d_model * 2, dtype=dt)(h))
+            ).astype(latent.dtype)
         ratio = -(-self.num_out // self.num_latent)
         up = jnp.repeat(latent, ratio, axis=1)[:, : self.num_out]
         grid = jnp.tile(
             jnp.linspace(-0.05, 0.05, ratio)[None, :, None],
             (b, self.num_latent, 1),
-        )[:, : self.num_out]
+        )[:, : self.num_out].astype(up.dtype)
         h = jnp.concatenate([up, grid], axis=-1)
-        return nn.Dense(3)(nn.relu(nn.Dense(128)(h)))
+        out = nn.Dense(3, dtype=dt)(nn.relu(nn.Dense(128, dtype=dt)(h)))
+        return out.astype(jnp.float32)
 
 
 class TransformerCompletion(nn.Module):
@@ -104,14 +111,16 @@ class TransformerCompletion(nn.Module):
     num_latent: int = 256
     eval_emd: bool = False
     train_loss: str = "cd"  # reference supports cd only here
+    compute_dtype: str | None = None  # bf16 = AMP (params/losses f32)
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,
                  prefix: str = "train", alpha: float | None = None):
         from houv_tpu.metrics.cd import calc_cd
 
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         out = TransformerRegressor(
-            num_latent=self.num_latent, num_out=self.num_points
+            num_latent=self.num_latent, num_out=self.num_points, dtype=dt
         )(x)
         if prefix == "train":
             cd_p, cd_t = calc_cd(out, gt)
@@ -133,17 +142,19 @@ class PCNTransformer(nn.Module):
     (registration/models/pcn.py PCN_Transformer :31-52)."""
 
     output_size: int = 1024
+    dtype: object = None  # bf16 = AMP (params f32, global feature f32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.relu(nn.Dense(128)(x))
-        h = nn.Dense(256)(h)
+        dt = self.dtype
+        h = nn.relu(nn.Dense(128, dtype=dt)(x))
+        h = nn.Dense(256, dtype=dt)(h)
         g = max_pool_points(h)
         h = jnp.concatenate(
             [h, jnp.broadcast_to(g[:, None], h.shape[:2] + (g.shape[-1],))],
             axis=-1,
         )
-        h = nn.relu(nn.Dense(512)(h))
-        h = h + MultiHeadAttention(4, 512)(h, h, h)
-        h = nn.Dense(self.output_size)(h)
-        return max_pool_points(h)
+        h = nn.relu(nn.Dense(512, dtype=dt)(h))
+        h = h + MultiHeadAttention(4, 512, dt)(h, h, h).astype(h.dtype)
+        h = nn.Dense(self.output_size, dtype=dt)(h)
+        return max_pool_points(h).astype(jnp.float32)

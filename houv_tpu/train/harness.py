@@ -71,13 +71,21 @@ def model_from_config(cfg: Config):
         kw = dict(cycle=cfg.cycle, compute_dtype=cfg.compute_dtype)
     elif name == "deepgmr":
         kw = dict(use_rri=cfg.use_rri, rri_size=cfg.rri_size,
-                  num_groups=cfg.num_groups)
+                  num_groups=cfg.num_groups,
+                  compute_dtype=cfg.compute_dtype)
     elif name == "idam":
         kw = dict(descriptor_size=cfg.descriptor_size,
                   num_iters=cfg.num_iters,
                   compute_dtype=cfg.compute_dtype)
     elif name == "transformer":
-        kw = dict(num_points=cfg.num_points, eval_emd=cfg.eval_emd)
+        kw = dict(num_points=cfg.num_points, eval_emd=cfg.eval_emd,
+                  compute_dtype=cfg.compute_dtype)
+    elif name == "model_embedding":
+        kw = dict(compute_dtype=cfg.compute_dtype)
+    elif name == "alignment_spconv":
+        kw = dict(grid_size=cfg.grid_size, compute_dtype=cfg.compute_dtype)
+    elif name == "voxel_asym":
+        kw = dict(grid_size=cfg.grid_size, compute_dtype=cfg.compute_dtype)
     else:
         kw = {}
     return get_model(name, **kw)
