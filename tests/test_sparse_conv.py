@@ -154,6 +154,70 @@ def test_match_conv_parity_down(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_banded_match_conv_parity(rng):
+    """The banded match path == the full one-hot match path, for both a
+    kernel whose inactive axis is already the raster major axis ((1,3,3))
+    and one that needs the y-major re-sort ((3,1,3)); gradients too."""
+    from houv_tpu.ops.sparse_conv import (
+        _banded_match_subm, _flat_coords, _match_conv, _neighbor_query_flat)
+
+    g, v = 12, 512
+    grid_ind = rng.integers(0, g, (2, v, 3)).astype(np.int32)
+    feats_in = rng.standard_normal((2, v, 6)).astype(np.float32)
+    sg = from_point_voxels(jnp.asarray(grid_ind), jnp.asarray(feats_in), g)
+    assert int(sg.mask.sum(1).min()) < v  # real masked tail
+
+    for ks in [(1, 3, 3), (3, 1, 3), (1, 1, 3)]:
+        offsets = kernel_offsets(ks)
+        k = len(offsets)
+        w = jnp.asarray(rng.standard_normal((k, 6, 7)).astype(np.float32))
+        feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+        src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+        qf = _neighbor_query_flat(sg.coords, sg.mask, offsets, g)
+        ref = _match_conv(feats, src_flat, qf, w, jnp.bfloat16)
+        out = _banded_match_subm(
+            feats, sg.coords, sg.mask, offsets, w, g, jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(ks))
+
+        def loss_band(f):
+            return _banded_match_subm(
+                f.astype(jnp.bfloat16), sg.coords, sg.mask, offsets, w, g,
+                jnp.bfloat16).sum()
+
+        def loss_full(f):
+            return _match_conv(
+                f.astype(jnp.bfloat16), src_flat, qf, w, jnp.bfloat16).sum()
+
+        # grads agree to bf16 rounding: the banded backward scatter-adds
+        # per-window bf16-rounded pieces where the full path sums once in
+        # f32 — same contract as bf16 training everywhere else
+        f32 = sg.features * sg.mask[..., None]
+        g_band = jax.grad(loss_band)(f32)
+        g_full = jax.grad(loss_full)(f32)
+        np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_full),
+                                   rtol=2e-2, atol=2e-2, err_msg=str(ks))
+
+
+def test_banded_subm_conv_vs_gather_path(rng):
+    """End-to-end subm_conv parity: the gather (golden) path vs the banded
+    match path forced through ``_banded_match_subm`` at full size."""
+    from houv_tpu.ops.sparse_conv import _banded_match_subm
+
+    g, v = 12, 512
+    grid_ind = rng.integers(0, g, (2, v, 3)).astype(np.int32)
+    feats_in = rng.standard_normal((2, v, 5)).astype(np.float32)
+    sg = from_point_voxels(jnp.asarray(grid_ind), jnp.asarray(feats_in), g)
+    w = jnp.asarray(rng.standard_normal((9, 5, 4)).astype(np.float32))
+    ref = subm_conv(sg, build_lookup(sg), w, (3, 1, 3),
+                    compute_dtype="bfloat16").features
+    feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+    out = _banded_match_subm(feats, sg.coords, sg.mask,
+                             kernel_offsets((3, 1, 3)), w, g, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_match_conv_weight_first_order(rng):
     """C > D triggers the contract-weights-first order; results agree with
     the im2col order to bf16 matmul tolerance."""
