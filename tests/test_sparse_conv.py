@@ -5,6 +5,7 @@ utils/mm3d_pn2/ops/spconv/test_utils.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from houv_tpu.ops.sparse_conv import (
     SparseGrid,
@@ -216,6 +217,34 @@ def test_banded_subm_conv_vs_gather_path(rng):
                              kernel_offsets((3, 1, 3)), w, g, jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_banded_match_champion_shape(rng):
+    """Banded parity at the champion list size (V=2048, G=50): exact when
+    the full path also takes im2col (c<=d); bf16 contraction-order
+    tolerance when the full path goes weights-first (c>d)."""
+    from houv_tpu.ops.sparse_conv import (
+        _banded_match_subm, _flat_coords, _match_conv, _neighbor_query_flat)
+
+    g, v = 50, 2048
+    grid_ind = rng.integers(0, g, (1, v, 3)).astype(np.int32)
+    for c, d, tol in [(8, 4, 2e-2), (4, 8, 1e-6)]:
+        feats_in = rng.standard_normal((1, v, c)).astype(np.float32)
+        sg = from_point_voxels(jnp.asarray(grid_ind), jnp.asarray(feats_in), g)
+        for ks in [(1, 3, 3), (3, 1, 3)]:
+            offsets = kernel_offsets(ks)
+            w = jnp.asarray(
+                rng.standard_normal((9, c, d)).astype(np.float32))
+            feats = (sg.features * sg.mask[..., None]).astype(jnp.bfloat16)
+            src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
+            qf = _neighbor_query_flat(sg.coords, sg.mask, offsets, g)
+            ref = _match_conv(feats, src_flat, qf, w, jnp.bfloat16)
+            out = _banded_match_subm(
+                feats, sg.coords, sg.mask, offsets, w, g, jnp.bfloat16)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=tol, atol=tol,
+                err_msg=f"{ks} c={c} d={d}")
 
 
 def test_match_conv_weight_first_order(rng):
