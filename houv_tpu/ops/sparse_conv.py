@@ -41,6 +41,11 @@ class SparseGrid:
 
     features: (B, V, C) float; coords: (B, V, 3) int32 in [0, grid_size);
     mask: (B, V) bool — valid rows; grid_size: static spatial extent.
+
+    Row-order invariant: both constructors (``from_point_voxels``,
+    ``downsample_sites``) emit valid rows ascending in x-major flat id
+    with the masked tail last; the banded match conv relies on it to skip
+    re-sorting for dx=0 kernels.
     """
 
     features: Array
@@ -267,7 +272,8 @@ def _band_width(g: int, q_block: int) -> int:
 
 def _banded_match_subm(features: Array, coords: Array, mask: Array,
                        offsets, weights: Array, g: int, compute_dtype,
-                       q_block: int = _BAND_Q) -> Array:
+                       q_block: int = _BAND_Q,
+                       assume_sorted: bool = False) -> Array:
     """Submanifold match conv with the one-hot contraction banded to a
     W-row window per query block (W = ``_band_width`` ≪ U): the match
     einsum drops from V·K·U to V·K·W MACs per channel — ~8× less one-hot
@@ -294,11 +300,19 @@ def _banded_match_subm(features: Array, coords: Array, mask: Array,
     w_rows = _band_width(g, q_block)
 
     keys = _perm_flat(coords, mask, g, major)                 # (B, U)
-    perm = jnp.argsort(keys, axis=-1)
-    key_s = jnp.take_along_axis(keys, perm, axis=1)
-    feat_s = jnp.take_along_axis(features, perm[..., None], axis=1)
-    coords_s = jnp.take_along_axis(coords, perm[..., None], axis=1)
-    mask_s = jnp.take_along_axis(mask, perm, axis=1)
+    if assume_sorted:
+        # constructor invariant (from_point_voxels / downsample_sites):
+        # valid rows ascend in canonical flat id, masked tail -> G³, so
+        # for major == 0 the list is already window-ready — skip the
+        # argsort and the three permutation gathers
+        perm = None
+        key_s, feat_s, coords_s, mask_s = keys, features, coords, mask
+    else:
+        perm = jnp.argsort(keys, axis=-1)
+        key_s = jnp.take_along_axis(keys, perm, axis=1)
+        feat_s = jnp.take_along_axis(features, perm[..., None], axis=1)
+        coords_s = jnp.take_along_axis(coords, perm[..., None], axis=1)
+        mask_s = jnp.take_along_axis(mask, perm, axis=1)
 
     # per-tap delta in the permuted raster order
     axes = [major] + [a for a in range(3) if a != major]
@@ -341,6 +355,8 @@ def _banded_match_subm(features: Array, coords: Array, mask: Array,
         preferred_element_type=jnp.float32,
     ).reshape(b, u, d)
 
+    if perm is None:
+        return out_s
     inv = jnp.argsort(perm, axis=-1)
     return jnp.take_along_axis(out_s, inv[..., None], axis=1)
 
@@ -377,14 +393,15 @@ def subm_conv(
     if _use_match_conv(compute_dtype):
         g = sg.grid_size
         v = sg.coords.shape[1]
+        major = _band_major_axis(offsets)
         if (
-            _band_major_axis(offsets) is not None
+            major is not None
             and v % _BAND_Q == 0
             and v > _band_width(g, _BAND_Q)
         ):
             out = _banded_match_subm(
                 feats, sg.coords, sg.mask, offsets, weights, g,
-                compute_dtype,
+                compute_dtype, assume_sorted=(major == 0),
             )
             return SparseGrid(out, sg.coords, sg.mask, sg.grid_size)
         src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)

@@ -180,6 +180,12 @@ def test_banded_match_conv_parity(rng):
             feats, sg.coords, sg.mask, offsets, w, g, jnp.bfloat16)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6, err_msg=str(ks))
+        if ks[0] == 1:  # constructor row order: sorted fast path is exact
+            out_ns = _banded_match_subm(
+                feats, sg.coords, sg.mask, offsets, w, g, jnp.bfloat16,
+                assume_sorted=True)
+            np.testing.assert_array_equal(np.asarray(out_ns),
+                                          np.asarray(out))
 
         def loss_band(f):
             return _banded_match_subm(
