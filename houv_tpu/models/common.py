@@ -135,21 +135,28 @@ class EFExpansion(nn.Module):
     output_size: int = 64
     step_ratio: int = 2
     k: int = 4
+    dtype: object = None  # bf16 = AMP (kNN selection stays f32, out f32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, n, _ = x.shape
-        edge = get_graph_feature(x, self.k, minus_center=False)  # (B,N,k,2C)
-        ef = nn.Dense(self.output_size)(edge)
+        edge = get_graph_feature(
+            x.astype(jnp.float32), self.k, minus_center=False
+        )  # (B,N,k,2C); selection in f32 (see DenseConv note in ecg.py)
+        if self.dtype is not None:
+            edge = edge.astype(self.dtype)
+        ef = nn.Dense(self.output_size, dtype=self.dtype)(edge)
         ef = nn.relu(jnp.concatenate([ef, edge], axis=-1))
-        ef = nn.relu(nn.Dense(self.output_size * self.step_ratio)(ef))
+        ef = nn.relu(
+            nn.Dense(self.output_size * self.step_ratio, dtype=self.dtype)(ef)
+        )
         # (B, N, k, C_out·r) -> (B, N·r, k, C_out)
         ef = ef.reshape(b, n, self.k, self.step_ratio, self.output_size)
         ef = jnp.swapaxes(ef, 2, 3).reshape(
             b, n * self.step_ratio, self.k, self.output_size
         )
-        ef = nn.Dense(self.output_size)(ef)
-        return jnp.max(ef, axis=2)
+        ef = nn.Dense(self.output_size, dtype=self.dtype)(ef)
+        return jnp.max(ef, axis=2).astype(jnp.float32)
 
 
 def attention(query: Array, key: Array, value: Array,

@@ -42,7 +42,13 @@ class DenseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = get_graph_feature(x, self.k, minus_center=True)  # (B,N,k,2C)
+        # kNN graph construction runs in f32 even under AMP: feature-space
+        # neighbor selection is a discrete decision and bf16 distance
+        # accumulation flips near-ties (same rationale as the f32 embedding
+        # head in models/embedding.py)
+        y = get_graph_feature(
+            x.astype(jnp.float32), self.k, minus_center=True
+        )  # (B,N,k,2C)
         y = y.astype(self.dtype) if self.dtype else y
         x = x.astype(y.dtype)
         y = nn.relu(nn.Dense(self.growth_rate, dtype=self.dtype)(y))
@@ -144,7 +150,8 @@ class ECGDecoder(nn.Module):
         points = jnp.concatenate([coarse, point_input], axis=1)
         dense_feat = EFEncoder(output_size=256, dtype=self.dtype)(points)
         if scale >= 2:
-            dense_feat = EFExpansion(256, 64, step_ratio=scale, k=4)(dense_feat)
+            dense_feat = EFExpansion(256, 64, step_ratio=scale, k=4,
+                                     dtype=self.dtype)(dense_feat)
         h = nn.relu(nn.Dense(64, dtype=self.dtype)(dense_feat))
         fine = nn.Dense(3, dtype=self.dtype)(h).astype(jnp.float32)
         if fine.shape[1] > self.num_fine:

@@ -35,6 +35,11 @@ from houv_tpu.ops.sampling import furthest_point_sample
 Array = jax.Array
 
 
+def _dt(compute_dtype):
+    """'bfloat16' -> dtype for flax modules; None = f32."""
+    return jnp.dtype(compute_dtype) if compute_dtype else None
+
+
 class SAModule(nn.Module):
     """Point self-attention over a kNN graph (reference vrcnet.py:21-68).
 
@@ -289,7 +294,8 @@ class MSAPSKNDecoder(nn.Module):
 
         up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))
         if up_scale >= 2:
-            dense_feat = EFExpansion(256, 64, step_ratio=up_scale, k=4)(
+            dense_feat = EFExpansion(256, 64, step_ratio=up_scale, k=4,
+                                     dtype=_dt(self.compute_dtype))(
                 dense_feat
             )
         coarse_features = nn.relu(nn.Dense(64)(dense_feat))
@@ -323,7 +329,9 @@ class MSAPSKNDecoder(nn.Module):
                 center = jnp.repeat(coarse, ratio, axis=1)
                 fine = nn.Dense(3)(nn.relu(nn.Dense(64)(up))) + center
             else:
-                up = EFExpansion(64, 256, step_ratio=ratio, k=4)(coarse_features)
+                up = EFExpansion(64, 256, step_ratio=ratio, k=4,
+                                 dtype=_dt(self.compute_dtype))(
+                    coarse_features)
                 fine = nn.Dense(3)(nn.relu(nn.Dense(64)(up)))
         else:
             fine = coarse

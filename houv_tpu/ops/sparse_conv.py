@@ -246,14 +246,15 @@ def _band_major_axis(offsets) -> int | None:
     return None
 
 
+def _axes_order(major: int) -> list[int]:
+    """Axis permutation putting ``major`` first (the banding raster)."""
+    return [major] + [a for a in range(3) if a != major]
+
+
 def _perm_flat(coords: Array, mask: Array, g: int, major: int) -> Array:
     """Flat ids in the raster order with ``major`` first; masked -> G³
     (sorts after every valid id, never equals a valid query)."""
-    axes = [major] + [a for a in range(3) if a != major]
-    f = (
-        coords[..., axes[0]] * g + coords[..., axes[1]]
-    ) * g + coords[..., axes[2]]
-    return jnp.where(mask, f, g * g * g)
+    return _flat_coords(coords[..., _axes_order(major)], mask, g, g * g * g)
 
 
 def _band_width(g: int, q_block: int) -> int:
@@ -314,19 +315,17 @@ def _banded_match_subm(features: Array, coords: Array, mask: Array,
         coords_s = jnp.take_along_axis(coords, perm[..., None], axis=1)
         mask_s = jnp.take_along_axis(mask, perm, axis=1)
 
-    # per-tap delta in the permuted raster order
-    axes = [major] + [a for a in range(3) if a != major]
-    deltas = [o[axes[1]] * g + o[axes[2]] for o in offsets]
+    # per-tap delta in the permuted raster order (offsets permuted the
+    # same way keep _neighbor_query_flat's bounds/sentinel semantics)
+    axes = _axes_order(major)
+    offsets_p = [tuple(o[a] for a in axes) for o in offsets]
+    deltas = [op[1] * g + op[2] for op in offsets_p]
     dmin = min(deltas)
 
     # query ids in the permuted space, blocked (B, T, Q, K)
-    off = jnp.asarray(offsets, jnp.int32)
-    nc = coords_s[:, :, None, :] + off[None, None]           # (B, U, K, 3)
-    in_b = jnp.all((nc >= 0) & (nc < g), axis=-1) & mask_s[..., None]
-    qf = (
-        nc[..., axes[0]] * g + nc[..., axes[1]]
-    ) * g + nc[..., axes[2]]
-    qf = jnp.where(in_b, qf, -1).reshape(b, t, q_block, k)
+    qf = _neighbor_query_flat(
+        coords_s[..., axes], mask_s, offsets_p, g
+    ).reshape(b, t, q_block, k)
 
     # window start per block: first sorted row with id >= q0 + dmin
     q0 = key_s[:, ::q_block]                                  # (B, T)

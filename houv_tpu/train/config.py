@@ -48,9 +48,11 @@ class Config:
     # size of the synthetic fallback splits (None = 128 train / 64 other);
     # lets sweep rehearsals run at reference scale without the MVP .h5
     synthetic_size: int | None = None
-    # mixed precision for the learned models that support it (dcp, idam,
-    # vrcnet, vrcnet_knn): 'bfloat16' runs their hot Dense/attention
-    # stacks in bf16 with f32 params and statistics; None = full f32
+    # mixed precision for every learned model (pcn, ecg, vrcnet,
+    # vrcnet_knn, dcp, deepgmr, idam, transformer, model_embedding,
+    # alignment_spconv, voxel_asym): 'bfloat16' runs the hot
+    # Dense/attention/conv stacks in bf16 with f32 params, statistics,
+    # losses, and kNN selection; None = full f32 (reference numerics)
     compute_dtype: str | None = None
 
     # optimization

@@ -225,6 +225,49 @@ def test_banded_subm_conv_vs_gather_path(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_subm_conv_banded_gate(rng, monkeypatch):
+    """Drive subm_conv's TPU-only match dispatch (incl. the banded gate and
+    its assume_sorted fast path) on CPU by forcing _use_match_conv, and
+    check it against the gather (golden) path."""
+    import houv_tpu.ops.sparse_conv as sc
+
+    g, v = 12, 512
+    grid_ind = rng.integers(0, g, (2, v, 3)).astype(np.int32)
+    feats_in = rng.standard_normal((2, v, 4)).astype(np.float32)
+    sg = from_point_voxels(jnp.asarray(grid_ind), jnp.asarray(feats_in), g)
+    lk = build_lookup(sg)
+    for ks in [(1, 3, 3), (3, 1, 3)]:
+        w = jnp.asarray(
+            rng.standard_normal((9, 4, 6)).astype(np.float32))
+        ref = subm_conv(sg, lk, w, ks, compute_dtype="bfloat16").features
+        monkeypatch.setattr(sc, "_use_match_conv", lambda dt: True)
+        out = sc.subm_conv(sg, lk, w, ks, compute_dtype="bfloat16").features
+        monkeypatch.undo()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(ks))
+
+
+def test_constructor_row_order(rng):
+    """The invariant the banded fast path relies on: from_point_voxels and
+    downsample_sites emit valid rows ascending in x-major flat id."""
+    from houv_tpu.ops.sparse_conv import downsample_sites
+
+    sg = _random_sparse(rng, b=2, n=300, g=10, c=3)
+    for coords, mask, g in [
+        (np.asarray(sg.coords), np.asarray(sg.mask), 10),
+    ]:
+        for b in range(coords.shape[0]):
+            f = (coords[b, :, 0] * g + coords[b, :, 1]) * g + coords[b, :, 2]
+            fv = f[mask[b]]
+            assert (np.diff(fv) > 0).all()
+    oc, om, og = downsample_sites(sg, (2, 2, 2))
+    oc, om = np.asarray(oc), np.asarray(om)
+    for b in range(oc.shape[0]):
+        f = (oc[b, :, 0] * og + oc[b, :, 1]) * og + oc[b, :, 2]
+        fv = f[om[b]]
+        assert (np.diff(fv) > 0).all()
+
+
 @pytest.mark.slow
 def test_banded_match_champion_shape(rng):
     """Banded parity at the champion list size (V=2048, G=50): exact when
