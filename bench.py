@@ -190,7 +190,7 @@ def bench_vrcnet_knn():
 def bench_houv():
     from houv_tpu.data import synthesize_registration_pairs
     from houv_tpu.solvers import HOUVConfig
-    from houv_tpu.solvers.houv import houv_solve_chunked
+    from houv_tpu.solvers.houv import evaluate_solution, houv_solve_chunked
 
     n_pairs = 16
     data = synthesize_registration_pairs(
@@ -209,6 +209,18 @@ def bench_houv():
     _sync(out["rmse"].sum())
     dt = time.perf_counter() - t0
     pairs_per_sec = n_pairs / dt
+    # quality guard on the SAME timed solve: median rotation error vs the
+    # fixture GT (full variant matrix: scripts/quality_gate.py). Baseline
+    # is the reference leaderboard mean RotE 2.94973° (registration/
+    # README.md:62) — fixture ≠ MVP, so this is a regression tripwire,
+    # not a leaderboard comparison.
+    r_err, _ = evaluate_solution(
+        out["transform"], jnp.asarray(data["transforms"])
+    )
+    rot_med = float(jnp.median(r_err))
+    emit("houv_rot_median_deg_fixture", rot_med,
+         "deg (16 synthetic pairs, <=45deg, 1 angle pass)",
+         2.94973 / max(rot_med, 1e-6))
     # flagship metric: printed last (the driver parses the final line)
     emit("houv_registration_pairs_per_sec_per_chip", pairs_per_sec,
          "pairs/sec/chip (2048 pts, kernel=64, 500 Adam steps)",
