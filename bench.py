@@ -34,6 +34,11 @@ enable_compilation_cache()
 
 BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU = 2000.0 / (5400.0 * 4.0)
 BASELINE_EMD_TRAIN_MS = 50.0       # reference emd_cuda.cu, B=8 x 2048
+# The reference auction runs a FIXED iteration loop with no early exit
+# (emd_cuda.cu:256 launches every kernel each of the `iters` rounds), so
+# the eval setting (3000 iters) scales linearly from the measured 50-iter
+# train batch: ~50 ms * 60 = ~3000 ms.
+BASELINE_EMD_EVAL_MS = 3000.0
 BASELINE_KNN_TOPK_MS = 20.3        # lax.top_k at (8, 2048, 2048) k=16
 BASELINE_PCN_CLOUDS_PER_S = 1360.0  # our round-2 device step (B=32)
 BASELINE_VRCNET_KNN_CLOUDS_PER_S = 14.6  # our round-2 train step (B=8)
@@ -64,7 +69,7 @@ def bench_emd():
     for f, name, n_iter, base in (
         (f_train, "emd_train_ms_per_8x2048_batch", 10,
          BASELINE_EMD_TRAIN_MS),
-        (f_eval, "emd_eval_ms_per_8x2048_batch", 3, None),
+        (f_eval, "emd_eval_ms_per_8x2048_batch", 3, BASELINE_EMD_EVAL_MS),
     ):
         _sync(f(x1, x2))
         t0 = time.perf_counter()

@@ -93,8 +93,10 @@ class VRCNetKNN(nn.Module):
     # bf16 is the benchmarked TPU design point; None = f32 gather path)
     voxel_compute_dtype: str | None = "bfloat16"
     # remat the voxel-branch conv bodies (regather in backward). False
-    # saves the neighbor tensors — faster when HBM headroom allows.
-    voxel_conv_remat: bool = True
+    # saves the neighbor tensors — measured faster at B=16 (457 vs 523
+    # ms/step) and B=32 (998 vs 1073) on v5e; flip to True only when HBM
+    # is the binding constraint.
+    voxel_conv_remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, gt: Array | None = None,

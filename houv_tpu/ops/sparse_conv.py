@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -235,6 +236,10 @@ def _neighbor_query_flat(base_coords: Array, base_mask: Array, offsets,
 
 _BAND_Q = 128  # query block rows (sublane-friendly)
 
+# A/B escape hatch: HOUV_TPU_NO_BANDED_CONV=1 forces the full-match
+# einsum even where the banded window applies (benchmark comparisons).
+_BANDED_DISABLED = os.environ.get("HOUV_TPU_NO_BANDED_CONV", "") == "1"
+
 
 def _band_major_axis(offsets) -> int | None:
     """The axis no kernel tap moves along (factorized kernels have one);
@@ -394,7 +399,8 @@ def subm_conv(
         v = sg.coords.shape[1]
         major = _band_major_axis(offsets)
         if (
-            major is not None
+            not _BANDED_DISABLED
+            and major is not None
             and v % _BAND_Q == 0
             and v > _band_width(g, _BAND_Q)
         ):

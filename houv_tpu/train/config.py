@@ -106,9 +106,9 @@ class Config:
     # paths, so checkpoints are not interchangeable with use_remat=False)
     use_remat: bool = False
     # remat voxel-branch conv bodies (backward regather). False = save
-    # residuals instead — faster when HBM headroom allows (param paths
-    # unaffected: the checkpoint wraps the pure op, not the module).
-    voxel_conv_remat: bool = True
+    # residuals instead — measured faster at B=16/B=32 on v5e (param
+    # paths unaffected: the checkpoint wraps the pure op, not the module).
+    voxel_conv_remat: bool = False
     grid_size: int = 50              # voxel branch grid (50³, dataset.py:264)
     voxel_init_size: int = 128       # Asymm3DSpconv init channel width
     use_rri: bool = True
