@@ -388,8 +388,9 @@ class Asymm3DSpconv(nn.Module):
     # reference numerics via the gather path (CPU golden tests).
     compute_dtype: str | None = "bfloat16"
     # conv_remat=True regathers neighbor tensors in the backward (HBM
-    # headroom); False saves them and skips the backward regather einsums.
-    conv_remat: bool = True
+    # headroom); False saves them and skips the backward regather einsums
+    # (measured faster at champion shapes — BENCH_NOTES r3 final).
+    conv_remat: bool = False
 
     @nn.compact
     def __call__(self, grid_ind: Array, point_features: Array,

@@ -131,8 +131,12 @@ class VRCNetKNN(nn.Module):
 
         if prefix == "train":
             loss1, _ = calc_cd(coarse, gt)
+            # The reference decoder returns fine_points TWICE (naive ==
+            # fine, completion/models/vrcnet_knn.py:428), so its loss2 and
+            # loss3 are the same CD counted twice; reproduced faithfully
+            # (XLA CSEs the duplicate — no extra compute).
             loss2, _ = calc_cd(fine, gt)
-            loss3, _ = calc_cd(fine, gt)
+            loss3 = loss2
             loss4, loss4_t = calc_cd(native, gt)
             total = loss1.mean() + loss2.mean() + loss3.mean() + loss4.mean()
             return {"out2": fine, "loss2": loss4_t, "total_loss": total}
