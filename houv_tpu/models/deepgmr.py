@@ -37,9 +37,9 @@ def get_rri(pts: Array, k: int) -> Array:
     b, n, _ = pts.shape
     _, idx = knn_points(pts, pts, k + 1)
     idx = idx[..., 1:]  # drop self
-    q = jnp.take_along_axis(
-        jnp.broadcast_to(pts[:, None], (b, n, n, 3)), idx[..., None], axis=2
-    )  # (B, N, k, 3)
+    # vmap row-indexing: the broadcast + take_along_axis(axis=2) form makes
+    # XLA's backward scatter into the full (B, N, N, 3) broadcast shape.
+    q = jax.vmap(lambda s, i: s[i])(pts, idx)  # (B, N, k, 3)
     p = jnp.broadcast_to(pts[:, :, None, :], q.shape)
 
     rp = jnp.linalg.norm(p, axis=-1, keepdims=True)

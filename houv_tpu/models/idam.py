@@ -64,9 +64,9 @@ class Propagate(nn.Module):
     def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
         """x (B, N, C), idx (B, N, k) -> (B, N, emb)."""
         b, n, c = x.shape
-        nn_feat = jnp.take_along_axis(
-            jnp.broadcast_to(x[:, None], (b, n, n, c)), idx[..., None], axis=2
-        )  # (B, N, k, C)
+        # vmap row-indexing (backward scatters into (B, N, C), not the
+        # full (B, N, N, C) broadcast shape)
+        nn_feat = jax.vmap(lambda s, i: s[i])(x, idx)  # (B, N, k, C)
         h = nn_feat - x[:, :, None, :]
         h = _ConvBlock((self.emb_dims, self.emb_dims),
                        axis_name=self.axis_name, dtype=self.dtype)(h, train)

@@ -152,10 +152,13 @@ def knn_points(query: Array, ref: Array, k: int,
     if use_pallas is None:
         # only worth a kernel when the (B, M, N) buffer is actually big:
         # each pallas_call instance adds Mosaic compile time, and lax.top_k
-        # is fine at small N (the deep SA-SKN levels)
+        # is fine at small N (the deep SA-SKN levels). Gate at 2^23: TPU
+        # top_k lowers to a full stable sort, and the champion step's
+        # mid-size levels ((16, 1536, 768) ≈ 19M) measured 5-7 ms as sorts
+        # vs ~1 ms as kernel calls (vrcnet profile, BENCH_NOTES r3 final).
         use_pallas = (
             jax.default_backend() == "tpu"
-            and query.shape[0] * query.shape[1] * ref.shape[1] >= 2**25
+            and query.shape[0] * query.shape[1] * ref.shape[1] >= 2**23
         )
     if use_pallas and query.shape[-1] <= 8 and k <= 64:
         # stop-grad the INPUTS: pallas_call has no JVP rule, and the

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from houv_tpu.ops.chamfer import pairwise_sqdist
+from houv_tpu.ops.grouping import knn_points
 
 Array = jax.Array
 
@@ -23,18 +23,22 @@ def three_nn(target: Array, source: Array) -> tuple[Array, Array]:
     (B, N, 3) × (B, M, 3) -> (dist (B, N, 3), idx (B, N, 3) int32).
     dist is the actual (non-squared) euclidean distance like the CUDA op.
     """
-    d2 = pairwise_sqdist(target, source)
-    _, idx = jax.lax.top_k(-d2, 3)
+    # knn_points auto-dispatches to the blockwise Pallas kernel at large
+    # volumes — lax.top_k lowers to a full stable SORT of every row on TPU
+    # (measured 28 ms at (16, 3072, 1536) in the vrcnet_knn decoder, the
+    # single largest op in the champion train step). The unused distance
+    # output is dead-code-eliminated; distances are recomputed exactly
+    # below either way.
+    _, idx = knn_points(target, source, 3)
     idx = idx.astype(jnp.int32)
     # Recompute the 3 selected distances directly: the a²+b²-2ab form has a
     # ~1e-6 cancellation floor that corrupts inverse-distance weights at
     # coincident points; the direct form is exact there.
-    bsz, n, _ = target.shape
-    gathered = jnp.take_along_axis(
-        jnp.broadcast_to(source[:, None, :, :], (bsz, n, source.shape[1], 3)),
-        idx[..., None],
-        axis=2,
-    )  # (B, N, 3, 3)
+    # Row-index per batch: the VJP scatters into (B, M, 3). (The previous
+    # broadcast + take_along_axis(axis=2) form made XLA materialize the
+    # full (B, N, M, 3) broadcast in its backward — a 900 MB scatter at
+    # champion decoder shapes, ~12 ms/step.)
+    gathered = jax.vmap(lambda s, i: s[i])(source, idx)  # (B, N, 3, 3)
     diff = target[:, :, None, :] - gathered
     # Floored sqrt: FPS-derived upsampling targets coincide with sources
     # exactly (d = 0), where sqrt's gradient is inf -> NaNs in training.
