@@ -9,10 +9,6 @@ Usage: python scripts/profile_vrcnet.py [B] [trace_dir]
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -26,6 +22,7 @@ import optax
 from houv_tpu.models import get_model
 from houv_tpu.ops.voxel import voxel_grid_indices
 from houv_tpu.utils.cache import enable_compilation_cache
+from trace_agg import aggregate_trace
 
 enable_compilation_cache()
 
@@ -71,42 +68,6 @@ def build_step(bsz):
         return optax.apply_updates(params, upd), opt_state, loss
 
     return step, params, opt_state
-
-
-def aggregate_trace(trace_dir):
-    paths = glob.glob(os.path.join(
-        trace_dir, "**", "*.trace.json.gz"), recursive=True)
-    if not paths:
-        print("no trace json found under", trace_dir)
-        return
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # Device tracks: pid names containing 'TPU'/'device'. Build pid->name.
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    per_op = collections.Counter()
-    n_dev_events = 0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        pname = pid_names.get(e.get("pid"), "")
-        if not any(k in pname for k in ("TPU", "Device", "device", "/device")):
-            continue
-        n_dev_events += 1
-        per_op[e.get("name", "?")] += e.get("dur", 0)
-    if not n_dev_events:
-        print(f"trace {path}: no device events; process names: "
-              f"{sorted(set(pid_names.values()))[:10]}")
-        return
-    total = sum(per_op.values())
-    print(f"trace {path}: {n_dev_events} device events, "
-          f"{total / 1e3:.1f} ms total device time")
-    for name, dur in per_op.most_common(40):
-        print(f"{dur / 1e3:9.2f} ms  {100.0 * dur / total:5.1f}%  {name[:110]}")
 
 
 def main():
