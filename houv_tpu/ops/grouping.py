@@ -50,25 +50,16 @@ def index_points(points: Array, idx: Array) -> Array:
     return out.reshape(out_shape)
 
 
-def _knn_kernel(q_ref, rt_ref, idx_ref, *, k: int, n_valid: int,
-                idx_bits: int):
-    """Blockwise kNN: one (query-tile × full-ref) distance block in VMEM,
-    k nearest extracted by iterative packed-int max + mask-out (the packed
-    score+index trick from ops/chamfer.py). Never materializes (B, M, N)
-    in HBM and replaces lax.top_k's full bitonic sort with 2k cheap passes.
-    """
-    tile = q_ref.shape[1]
-    np_ = rt_ref.shape[2]
+def _extract_k_nearest(dist, idx_ref, *, k: int, n_valid: int,
+                       idx_bits: int):
+    """Shared tail of the kNN kernels: pack (ordered -dist, index) into one
+    int32 per candidate, then k iterations of max + mask-out (the packed
+    score+index trick from ops/chamfer.py). Requires dist >= 0 (the
+    bitcast ordering trick assumes -dist has its sign bit set)."""
+    tile, np_ = dist.shape
     low = (1 << idx_bits) - 1
     neg_inf = -(2**31) + 1
     order_flip = 0x7FFFFFFF
-    q = q_ref[0]            # (TILE, 8)
-    rt = rt_ref[0]          # (8, Np)
-    dist = (
-        jnp.square(q[:, 0:1] - rt[0:1, :])
-        + jnp.square(q[:, 1:2] - rt[1:2, :])
-        + jnp.square(q[:, 2:3] - rt[2:3, :])
-    )
     ordered = jax.lax.bitcast_convert_type(-dist, jnp.int32) ^ order_flip
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, np_), 1)
     keys = jnp.bitwise_or(
@@ -96,12 +87,49 @@ def _knn_kernel(q_ref, rt_ref, idx_ref, *, k: int, n_valid: int,
     idx_ref[0, :, :] = acc
 
 
+def _knn_kernel(q_ref, rt_ref, idx_ref, *, k: int, n_valid: int,
+                idx_bits: int):
+    """Blockwise kNN: one (query-tile × full-ref) distance block in VMEM,
+    k nearest extracted by iterative packed-int max + mask-out. Never
+    materializes (B, M, N) in HBM and replaces lax.top_k's full bitonic
+    sort with 2k cheap passes."""
+    q = q_ref[0]            # (TILE, 8)
+    rt = rt_ref[0]          # (8, Np)
+    dist = (
+        jnp.square(q[:, 0:1] - rt[0:1, :])
+        + jnp.square(q[:, 1:2] - rt[1:2, :])
+        + jnp.square(q[:, 2:3] - rt[2:3, :])
+    )
+    _extract_k_nearest(dist, idx_ref, k=k, n_valid=n_valid,
+                       idx_bits=idx_bits)
+
+
+def _knn_kernel_wide(q_ref, rt_ref, idx_ref, *, k: int, n_valid: int,
+                     idx_bits: int):
+    """Feature-space kNN (C > 8 dims): distances via an in-kernel MXU dot,
+    |q|² - 2q·r + |r|², clamped at 0 so the packed ordering contract of
+    ``_extract_k_nearest`` holds under the ~1e-6 cancellation floor.
+    Selection precision is the a²-2ab form in f32 — the same contract as
+    the f32 lax.top_k fallback at these channel widths (ECG DenseConv
+    pins selection inputs to f32 for exactly this reason)."""
+    q = q_ref[0]            # (TILE, Cp)
+    rt = rt_ref[0]          # (Cp, Np)
+    dot = jnp.dot(q, rt, preferred_element_type=jnp.float32)
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)    # (TILE, 1)
+    rsq = jnp.sum(rt * rt, axis=0, keepdims=True)  # (1, Np)
+    dist = jnp.maximum(qsq - 2.0 * dot + rsq, 0.0)
+    _extract_k_nearest(dist, idx_ref, k=k, n_valid=n_valid,
+                       idx_bits=idx_bits)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def knn_indices_pallas(query: Array, ref: Array, k: int, tile: int = 256,
                        interpret: bool = False) -> Array:
-    """(B, M, 3) × (B, N, 3) -> (B, M, k) int32 nearest-ref indices,
-    ascending by distance (ties: smaller index first)."""
-    bsz, m, _ = query.shape
+    """(B, M, C) × (B, N, C) -> (B, M, k) int32 nearest-ref indices,
+    ascending by distance (ties: smaller index first). C <= 8 takes the
+    coordinate kernel (exact (a-b)² distances); wider C takes the MXU
+    kernel (a²-2ab+b² distances, f32)."""
+    bsz, m, dim = query.shape
     n = ref.shape[1]
     lane = 128
     tile = min(tile, -(-m // lane) * lane)
@@ -109,22 +137,26 @@ def knn_indices_pallas(query: Array, ref: Array, k: int, tile: int = 256,
     np_ = -(-n // lane) * lane
     idx_bits = int(np_ - 1).bit_length()
 
+    wide = dim > 8
+    cp = -(-dim // lane) * lane if wide else 8
+    kernel = _knn_kernel_wide if wide else _knn_kernel
+
     q_pad = jnp.pad(
         query.astype(jnp.float32),
-        ((0, 0), (0, mp - m), (0, 8 - query.shape[-1])),
+        ((0, 0), (0, mp - m), (0, cp - dim)),
     )
     rt = jnp.swapaxes(ref.astype(jnp.float32), 1, 2)
-    rt = jnp.pad(rt, ((0, 0), (0, 8 - rt.shape[1]), (0, np_ - n)))
+    rt = jnp.pad(rt, ((0, 0), (0, cp - dim), (0, np_ - n)))
 
     idx = pl.pallas_call(
         functools.partial(
-            _knn_kernel, k=k, n_valid=n, idx_bits=idx_bits
+            kernel, k=k, n_valid=n, idx_bits=idx_bits
         ),
         grid=(bsz, mp // tile),
         in_specs=[
-            pl.BlockSpec((1, tile, 8), lambda bi, mi: (bi, mi, 0),
+            pl.BlockSpec((1, tile, cp), lambda bi, mi: (bi, mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, np_), lambda bi, mi: (bi, 0, 0),
+            pl.BlockSpec((1, cp, np_), lambda bi, mi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, k), lambda bi, mi: (bi, mi, 0),
@@ -160,13 +192,19 @@ def knn_points(query: Array, ref: Array, k: int,
             jax.default_backend() == "tpu"
             and query.shape[0] * query.shape[1] * ref.shape[1] >= 2**23
         )
-    if use_pallas and query.shape[-1] <= 8 and k <= 64:
+    dim = query.shape[-1]
+    # wide (feature-space) kernel VMEM gate: the (Cp, Np) ref-transpose +
+    # (TILE, Np) distance block must fit comfortably (~8 MB of 16 MB VMEM)
+    np_pad = -(-ref.shape[1] // 128) * 128
+    cp_pad = -(-dim // 128) * 128
+    wide_ok = dim > 8 and (cp_pad + 256 + 256) * np_pad * 4 <= 8 * 2**20
+    if use_pallas and (dim <= 8 or wide_ok) and k <= 64:
         # stop-grad the INPUTS: pallas_call has no JVP rule, and the
         # argmin indices are piecewise-constant anyway
         idx = knn_indices_pallas(
             jax.lax.stop_gradient(query), jax.lax.stop_gradient(ref), k
         )
-        nb = jax.vmap(lambda r, i: r[i])(ref, idx)  # (B, M, k, 3)
+        nb = jax.vmap(lambda r, i: r[i])(ref, idx)  # (B, M, k, C)
         neg = -jnp.sum((query[:, :, None, :] - nb) ** 2, axis=-1)
         return neg, idx
     d = pairwise_sqdist(query, ref)

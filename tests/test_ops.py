@@ -213,6 +213,30 @@ def test_knn_indices_pallas_matches_topk(rng):
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
 
 
+def test_knn_indices_pallas_wide_matches_topk(rng):
+    """Feature-space (C > 8) kNN kernel (interpret) == dense top_k: the
+    in-kernel MXU a²-2ab+b² form must select the same neighbors as the
+    dense pairwise_sqdist + top_k fallback at f32 (well-separated data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.ops.chamfer import pairwise_sqdist
+    from houv_tpu.ops.grouping import knn_indices_pallas
+
+    q = jnp.asarray(rng.standard_normal((2, 150, 48)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((2, 260, 48)).astype(np.float32))
+    idx = knn_indices_pallas(q, r, 6, interpret=True)
+    d = pairwise_sqdist(q, r)
+    _, idx_ref = jax.lax.top_k(-d, 6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    # self-query: the zero-distance self match must survive the clamp
+    idx_self = knn_indices_pallas(r, r, 1, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(idx_self)[..., 0],
+        np.broadcast_to(np.arange(260), (2, 260)),
+    )
+
+
 def test_knn_points_pallas_path_values_and_grads(rng):
     """The pallas knn_points path returns the same values as the dense path
     and carries gradients through the selected distances."""
