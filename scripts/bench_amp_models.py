@@ -106,12 +106,47 @@ def bench_pcn(compute_dtype, n_steps):
           flush=True)
 
 
+def bench_ecg(compute_dtype, n_steps):
+    model = get_model("ecg", compute_dtype=compute_dtype)
+    key = jax.random.PRNGKey(7)
+    bsz = 16
+    x = jax.random.normal(key, (bsz, 2048, 3), jnp.float32) * 0.3
+    gt = jax.random.normal(jax.random.fold_in(key, 1), (bsz, 2048, 3)) * 0.3
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x, gt, "train", 0.5)
+    )()["params"]
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return model.apply({"params": p}, x, gt, "train", 0.5)[
+                "total_loss"]
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state)
+    _sync(loss)
+    ms = (time.perf_counter() - t0) / n_steps * 1e3
+    print(f"ecg  B={bsz} dtype={compute_dtype or 'f32'}: {ms:.0f} ms/step "
+          f"= {bsz / (ms / 1e3):.0f} clouds/s (loss {_sync(loss):.4f})",
+          flush=True)
+
+
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    for dt in (None, "bfloat16"):
-        bench_pcn(dt, n_steps)
-    for dt in (None, "bfloat16"):
-        bench_dcp(dt, n_steps)
+    models = sys.argv[2:] or ["pcn", "dcp", "ecg"]
+    for name in models:
+        fn = {"pcn": bench_pcn, "dcp": bench_dcp, "ecg": bench_ecg}[name]
+        for dt in (None, "bfloat16"):
+            fn(dt, n_steps)
 
 
 if __name__ == "__main__":
