@@ -81,7 +81,7 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
 # differentiable).
 
 def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
-                    m_valid: int, idx_bits: int):
+                    m_valid: int, idx_bits: int, mxu_scores: bool = False):
     """Per batch row: packed (quantized dist, index) MINIMA.
 
     Squared distances are >= 0, and non-negative IEEE-754 floats compare
@@ -90,6 +90,19 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
     yields argmin+value together, ties to the smaller index for free.
     (The r2 kernel negated the distance and complemented the index to use
     a max-reduce: 3 extra VPU ops per element on the hot path.)
+
+    ``mxu_scores``: score distances via the extended-channel matmul
+    ``dist² = [a, |a|², 1] · [-2b, 1, |b|²]ᵀ`` (channels packed by the
+    wrapper) in three hi/lo-bf16 MXU passes instead of 8 VPU ops/element
+    — the VPU keeps only max(·,0) + key packing (~6 ops/element). Score
+    error becomes ~2⁻¹⁷·|a||b| ABSOLUTE (vs 2⁻¹² relative for the
+    diff-form key truncation): which of two near-equidistant neighbors
+    wins can differ; exact distances are recomputed from the indices
+    outside either way. MEASURED NEGATIVE at flagship shapes (42.0 vs
+    26.9 ms/pass, scripts/bench_nn_select.py idx-mxu row, v5e): the
+    three hi/lo dots can't pipeline against the VPU key packing the way
+    the 8-op diff chain does. Opt-in only; everything defaults to the
+    exact diff form.
 
     a_ref: (BB, TILE, 8) query block; bt_ref: (BB, 8, Mp) coordinate-major
     refs; p1_ref: (BB, TILE) int32 packed per-a min (-> nearest b);
@@ -107,11 +120,25 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
     for b in range(_BATCH_BLOCK):
         a = a_ref[b]          # (TILE, 8) f32
         bt = bt_ref[b]        # (8, Mp) f32
-        dist = (
-            jnp.square(a[:, 0:1] - bt[0:1, :])
-            + jnp.square(a[:, 1:2] - bt[1:2, :])
-            + jnp.square(a[:, 2:3] - bt[2:3, :])
-        )                     # (TILE, Mp) exact f32 on the VPU
+        if mxu_scores:
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            bt_hi = bt.astype(jnp.bfloat16)
+            bt_lo = (bt - bt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            acc = jax.lax.dot_general(
+                a_hi, bt_hi, dims, preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(
+                a_hi, bt_lo, dims, preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(
+                a_lo, bt_hi, dims, preferred_element_type=jnp.float32)
+            dist = jnp.maximum(acc, 0.0)   # rounding can dip negative
+        else:
+            dist = (
+                jnp.square(a[:, 0:1] - bt[0:1, :])
+                + jnp.square(a[:, 1:2] - bt[1:2, :])
+                + jnp.square(a[:, 2:3] - bt[2:3, :])
+            )                 # (TILE, Mp) exact f32 on the VPU
         base = jnp.bitwise_and(pltpu.bitcast(dist, jnp.int32),
                                ~jnp.int32(low))
         key1 = jnp.bitwise_or(base, col)
@@ -133,11 +160,15 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
             p2_ref[b, :] = jnp.minimum(p2_ref[b, :], part2)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "mxu_scores")
+)
 def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
-                    interpret: bool = False) -> tuple[Array, Array]:
+                    interpret: bool = False,
+                    mxu_scores: bool = False) -> tuple[Array, Array]:
     """(B, N, 3) × (B, M, 3) -> (i1 (B, N), i2 (B, M)) nearest indices in
-    both directions from one fused kernel pass."""
+    both directions from one fused kernel pass. ``mxu_scores`` scores via
+    the extended-channel matmul (see _nn_both_kernel)."""
     bsz, n, _ = a.shape
     m = b.shape[1]
     bb = _BATCH_BLOCK
@@ -152,17 +183,28 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
         )
     low = (1 << idx_bits) - 1
 
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    if mxu_scores:
+        # extended channels: dist² = [a,|a|²,1]·[-2b,1,|b|²]ᵀ — one matmul
+        # (3 hi/lo passes in-kernel) replaces the VPU diff-square chain
+        one_a = jnp.ones(a32.shape[:2] + (1,), jnp.float32)
+        a32 = jnp.concatenate(
+            [a32, jnp.sum(a32 * a32, -1, keepdims=True), one_a], -1)
+        one_b = jnp.ones(b32.shape[:2] + (1,), jnp.float32)
+        b32 = jnp.concatenate(
+            [-2.0 * b32, one_b, jnp.sum(b32 * b32, -1, keepdims=True)], -1)
     a_pad = jnp.pad(
-        a.astype(jnp.float32),
-        ((0, bp - bsz), (0, np_ - n), (0, 8 - a.shape[-1])),
+        a32, ((0, bp - bsz), (0, np_ - n), (0, 8 - a32.shape[-1])),
     )
-    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
+    bt = jnp.swapaxes(b32, 1, 2)
     bt = jnp.pad(bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m)))
 
     grid = (bp // bb, np_ // tile)
     p1, p2 = pl.pallas_call(
         functools.partial(
-            _nn_both_kernel, n_valid=n, m_valid=m, idx_bits=idx_bits
+            _nn_both_kernel, n_valid=n, m_valid=m, idx_bits=idx_bits,
+            mxu_scores=mxu_scores,
         ),
         grid=grid,
         in_specs=[
@@ -188,21 +230,213 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
     return i1, i2
 
 
+def _nn_select_kernel(a_ref, bt_ref, c1_ref, c2_ref, p2_ref, *,
+                      n_valid: int, m_valid: int, idx_bits: int):
+    """Dual-direction NN that emits the SELECTED NEIGHBOR COORDINATES
+    instead of indices (motivation: the HOUV solver's two post-kernel
+    one-hot row gathers were 6.5 ms/step, plus 4.7 ms/step of
+    broadcast+pad feeding the index kernel — BENCH_NOTES r3 final).
+
+    MEASURED NEGATIVE at flagship shapes (scripts/bench_nn_select.py,
+    v5e): 50.1 ms/pass at tile=512 (130.6/78.0/58.9 at 64/128/256) vs
+    37.1 ms for index kernel + one-hot gathers — the row loop below
+    serializes the selection matmuls that the post-kernel gathers
+    overlap with surrounding work, and larger tiles only amortize, never
+    beat it. Kept opt-in (HOUVConfig.nn_select) for other topologies.
+
+    The BB batch rows are walked by an in-kernel ``fori_loop`` (NOT a
+    python unroll, and NOT one grid step per row): the unroll keeps every
+    iteration's (TILE, Mp) temporaries live on the Mosaic stack and blows
+    the 16M scoped-VMEM limit at solver shapes (measured: 18.12M at
+    tile=128), while a 1-row grid block leaves too little work per grid
+    step (measured: 123 vs 37 ms — 16384 steps of fixed overhead). The
+    loop body's temporaries are reused across iterations: ~6·TILE·Mp·4 B
+    of stack, independent of BB.
+
+    a_ref (1, TILE, 8): ONE query block, SHARED by every batch row of the
+    block (the solver's target cloud is identical across the K restarts —
+    the index_map divides the flat B·K batch row by K).
+    bt_ref (BB, 8, Mp): per-restart transformed refs, coordinate-major.
+    c1_ref (BB, TILE, 8) f32: per-a nearest-b coordinates (final per grid
+    step: the full Mp lives in VMEM).
+    c2_ref (BB, Mp, 8) f32 + p2_ref (BB, 1, Mp) int32: per-b nearest-a
+    coordinates and running packed min, accumulated across the
+    sequential N-tile grid steps (dim 1, fastest-varying, so the output
+    blocks stay VMEM-resident for the whole sweep).
+
+    The coordinate selection is a one-hot MXU contraction on the
+    VMEM-resident data (exactly one key matches the min: the packed low
+    bits make keys distinct). The one-hot is exact in bf16 and the
+    coordinate operand is split into hi/lo bf16 planes, so each selection
+    is two single-pass bf16 matmuls reconstructing f32 to ~2^-17 — the
+    same contract as the hi/lo gather it replaces (ops/gather.py), and
+    far lighter on Mosaic's stack than a HIGHEST-precision f32 dot.
+    """
+    ni = pl.program_id(1)
+    tile = a_ref.shape[1]
+    mp = bt_ref.shape[2]
+    low = (1 << idx_bits) - 1
+    pos_inf = 2**31 - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 0) + ni * tile
+    a = a_ref[0]              # (TILE, 8) f32 — shared by all batch rows
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _select(onehot, hi, lo, dims):
+        out = jax.lax.dot_general(
+            onehot, hi, (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out + jax.lax.dot_general(
+            onehot, lo, (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(b, carry):
+        bt = bt_ref[pl.ds(b, 1)][0]                  # (8, Mp) f32
+        bt_hi = bt.astype(jnp.bfloat16)
+        bt_lo = (bt - bt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dist = (
+            jnp.square(a[:, 0:1] - bt[0:1, :])
+            + jnp.square(a[:, 1:2] - bt[1:2, :])
+            + jnp.square(a[:, 2:3] - bt[2:3, :])
+        )
+        base = jnp.bitwise_and(pltpu.bitcast(dist, jnp.int32),
+                               ~jnp.int32(low))
+        key1 = jnp.bitwise_or(base, col)
+        if m_valid < mp:
+            key1 = jnp.where(col < m_valid, key1, pos_inf)
+        m1 = jnp.min(key1, axis=1)                   # (TILE,)
+        onehot1 = (key1 == m1[:, None]).astype(jnp.bfloat16)
+        # (TILE, Mp) contraction against bt's lane axis -> (TILE, 8)
+        c1 = _select(onehot1, bt_hi, bt_lo, ((1,), (1,)))
+        c1_ref[pl.ds(b, 1)] = c1[None]
+
+        key2 = jnp.bitwise_or(base, row)
+        if n_valid % tile:
+            key2 = jnp.where(row < n_valid, key2, pos_inf)
+        part2 = jnp.min(key2, axis=0)                # (Mp,)
+        onehot2 = (key2 == part2[None, :]).astype(jnp.bfloat16)
+        coords2 = _select(onehot2, a_hi, a_lo, ((0,), (0,)))  # (Mp, 8)
+
+        @pl.when(ni == 0)
+        def _():
+            p2_ref[pl.ds(b, 1)] = part2[None, None]
+            c2_ref[pl.ds(b, 1)] = coords2[None]
+
+        @pl.when(ni > 0)
+        def _():
+            old = p2_ref[pl.ds(b, 1)][0, 0]          # (Mp,)
+            p2_ref[pl.ds(b, 1)] = jnp.minimum(old, part2)[None, None]
+            # compare in 2-D: Mosaic can't insert a minor dim on 1-D bools
+            c2_ref[pl.ds(b, 1)] = jnp.where(
+                part2[:, None] < old[:, None],
+                coords2,
+                c2_ref[pl.ds(b, 1)][0],
+            )[None]
+
+        return carry
+
+    jax.lax.fori_loop(0, bt_ref.shape[0], body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def nn_select_pallas(a: Array, b: Array, tile: int = 128,
+                     interpret: bool = False) -> tuple[Array, Array]:
+    """(B, N, 3) shared queries × (B·K, M, 3) per-restart refs ->
+    (c1 (B·K, N, 3), c2 (B·K, M, 3)): the COORDINATES of each point's
+    nearest neighbor in the other cloud, both directions, one kernel pass.
+
+    ``a`` is stored once (not broadcast to B·K): the kernel's index_map
+    maps each flat batch row back to its pair row. Requires
+    (B·K) % B == 0 and (B·K / B) % _BATCH_BLOCK == 0 (the solver's K=64
+    restarts): every row of a batch block must share one pair's queries.
+    """
+    bk, m, _ = b.shape
+    bsz, n, _ = a.shape
+    assert bk % bsz == 0, (bk, bsz)
+    k_share = bk // bsz
+    bb = _BATCH_BLOCK
+    if bk % bb or k_share % bb:
+        raise ValueError(f"unsupported batch split {bk}/{bsz}")
+    tile = min(tile, _round_up(n, _LANE))
+    np_ = _round_up(n, tile)
+    mp = _round_up(m, _LANE)
+    idx_bits = max(int(np_ - 1).bit_length(), int(mp - 1).bit_length())
+    if idx_bits > 16:
+        raise ValueError(
+            f"packed-index kernel supports up to 65536 points, got {n}×{m}"
+        )
+
+    a_pad = jnp.pad(
+        a.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 8 - a.shape[-1]))
+    )
+    bt = jnp.swapaxes(b.astype(jnp.float32), 1, 2)
+    bt = jnp.pad(bt, ((0, 0), (0, 8 - bt.shape[1]), (0, mp - m)))
+
+    grid = (bk // bb, np_ // tile)
+    c1, c2, _ = pl.pallas_call(
+        functools.partial(
+            _nn_select_kernel, n_valid=n, m_valid=m, idx_bits=idx_bits
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, 8),
+                         lambda bi, ni: (bi * _BATCH_BLOCK // k_share,
+                                         ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, mp, 8), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # p2 carries a singleton middle dim: a (BB, mp) 2-D block
+            # slices the batch dim into the sublane dim, which would pad
+            # each row to 8 sublanes anyway; as (BB, 1, mp) the last two
+            # dims are (1, mp) = the trailing array dims themselves.
+            pl.BlockSpec((bb, 1, mp), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bk, np_, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bk, mp, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bk, 1, mp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # headroom over the 16M default scoped-VMEM budget: Mosaic's
+            # stack accounting charges ~17M at solver shapes even with the
+            # row loop (measured r3); v5e has 128M physical VMEM.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(a_pad, bt)
+    return c1[:, :n, :3], c2[:, :m, :3]
+
+
 def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
-                    interpret: bool = False) -> tuple[Array, Array]:
+                    interpret: bool = False,
+                    mxu_scores: bool = False) -> tuple[Array, Array]:
     """Nearest-neighbor indices both ways, no gradients:
     i1[b, i] = argmin_j ||a_i - b_j||², i2[b, j] = argmin_i ||a_i - b_j||².
 
     The fused single-pass search (one distance evaluation serves both
-    directions). Selection precision is 2^-12 relative on distances —
-    recompute exact distances from the returned indices where needed.
+    directions). Selection precision is 2^-12 relative on distances
+    (diff form) or ~2^-17·|a||b| absolute (``mxu_scores``, see
+    _nn_both_kernel) — recompute exact distances from the returned
+    indices where needed.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
     sa = jax.lax.stop_gradient(a).astype(jnp.float32)
     sb = jax.lax.stop_gradient(b).astype(jnp.float32)
     if use_pallas or interpret:
-        return _nn_both_pallas(sa, sb, interpret=interpret)
+        return _nn_both_pallas(sa, sb, interpret=interpret,
+                               mxu_scores=mxu_scores)
     dist = pairwise_sqdist(sa, sb)
     return (
         jnp.argmin(dist, axis=-1).astype(jnp.int32),

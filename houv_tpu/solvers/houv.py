@@ -104,6 +104,14 @@ class HOUVConfig:
     # truncated overlap but misfit globally. None = rank by the loss
     # truncation (reference semantics). gather grad_mode only.
     select_percent: float | None = None
+    # Emit matched-neighbor COORDINATES straight from the NN kernel
+    # (ops/chamfer.py nn_select_pallas) instead of indices + one-hot
+    # gathers. MEASURED NEGATIVE on v5e at flagship shapes — 50 vs 37
+    # ms/pass even at tile=512 (scripts/bench_nn_select.py, r3): the
+    # in-kernel row loop serializes the selection matmuls that the
+    # post-kernel one-hot gathers overlap with other work. Kept as an
+    # opt-in for re-measurement on other topologies.
+    nn_select: bool = False
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -247,8 +255,9 @@ def _trunc_mean_sqrt(d, k, fast):
     return _safe_sqrt(_smallest_k(d, k)).mean(axis=-1)
 
 
-def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None):
-    """One NN pass (stop-gradient indices) + scatter-free loss rebuild.
+def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
+                         interpret=False, nn_select=False):
+    """One NN pass (stop-gradient matches) + scatter-free loss rebuild.
 
     src (B, N, 3) raw, tgt (B, M, 3), src_t (B, K, N, 3) transformed
     (differentiable), r/t the per-restart transform. With ``dim_mask``
@@ -259,17 +268,60 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None):
     through (R, T) via einsum transposes only — NO scatter in the
     backward (the r2 OOM at view/multi_percent settings came from these
     terms routing through the chamfer custom-VJP scatter path).
+
+    ``nn_select`` (opt-in; MEASURED NEGATIVE on v5e, see
+    HOUVConfig.nn_select): ``nn_select_pallas`` emits the matched-neighbor
+    COORDINATES straight from kernel VMEM — no broadcast of tgt across
+    restarts, no dim-3→8 pad of the broadcast, and no post-kernel one-hot
+    row gathers. The matched raw-src rows are recovered by un-transforming
+    the selected transformed coords with the stop-gradient transform:
+    s_sel = R₀ᵀ(c1 - t₀), identical in value to gathering raw src rows
+    (up to the 2^-17 selection contract the hi/lo gather also carried).
     """
-    from houv_tpu.ops.chamfer import chamfer_indices
+    from houv_tpu.ops.chamfer import _BATCH_BLOCK, chamfer_indices, \
+        nn_select_pallas
     from houv_tpu.ops.gather import gather_rows
 
     bsz, kernel = r.shape[:2]
     n = src.shape[1]
     m = tgt.shape[1]
+    select_ok = (
+        (nn_select or interpret)
+        and dim_mask is None
+        and kernel % _BATCH_BLOCK == 0
+        and (use_pallas or interpret)
+    )
     if dim_mask is not None:
         src_t = src_t * dim_mask
         tgt = tgt * dim_mask
     flat_src_t = src_t.reshape(bsz * kernel, n, 3)
+
+    if select_ok:
+        # stop-grad the INPUTS too: pallas_call has no JVP rule, and the
+        # matched coordinates are piecewise-constant in (R, T) anyway
+        c1, c2 = nn_select_pallas(
+            jax.lax.stop_gradient(tgt),
+            jax.lax.stop_gradient(flat_src_t),
+            interpret=interpret,
+        )
+        tg = jax.lax.stop_gradient(c2).reshape(bsz, kernel, n, 3)
+        src_t_sel = jax.lax.stop_gradient(c1).reshape(bsz, kernel, m, 3)
+        d2 = jnp.sum((src_t - tg) ** 2, axis=-1).reshape(bsz * kernel, n)
+        r0 = jax.lax.stop_gradient(r)
+        t0 = jax.lax.stop_gradient(t)
+        s_sel = jnp.einsum(
+            "bkmd,bkdc->bkmc", src_t_sel - t0[:, :, None, :], r0,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                           # matched raw src rows
+        matched_t = jnp.einsum(
+            "bkmc,bkdc->bkmd", s_sel, r,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + t[:, :, None, :]
+        d1 = jnp.sum(
+            (tgt[:, None] - matched_t) ** 2, axis=-1
+        ).reshape(bsz * kernel, m)
+        return d1, d2
+
     # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
     # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
     tgt_r = jnp.broadcast_to(
@@ -347,7 +399,8 @@ def _objective_gather(params, src, tgt, angle_base, cfg: HOUVConfig):
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = _use_pallas()
-    d1, d2 = _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas)
+    d1, d2 = _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas,
+                                  nn_select=cfg.nn_select)
 
     if cfg.objective == "multi_percent":
         # getPredict_cd_keba_v3's adaptive weighting (train_utils.py:

@@ -154,3 +154,104 @@ def test_fused_indices_cpu_fallback(rng):
     _, _, i1r, i2r = chamfer_reference(a, b)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1r))
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2r))
+
+
+def test_nn_select_coords_match_reference(rng):
+    """nn_select_pallas (interpret) emits the same matched coordinates as
+    gathering with the dense-reference argmins, with the query cloud
+    shared across K restarts (the solver layout)."""
+    from houv_tpu.ops.chamfer import chamfer_reference, nn_select_pallas
+
+    bsz, k, n, m = 2, 8, 96, 100
+    a = jnp.asarray(rng.standard_normal((bsz, n, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((bsz * k, m, 3)).astype(np.float32))
+    c1, c2 = nn_select_pallas(a, b, interpret=True)
+    assert c1.shape == (bsz * k, n, 3) and c2.shape == (bsz * k, m, 3)
+    a_rep = jnp.repeat(a, k, axis=0)
+    _, _, i1r, i2r = chamfer_reference(a_rep, b)
+    c1r = jnp.take_along_axis(b, i1r[..., None], axis=1)
+    c2r = jnp.take_along_axis(a_rep, i2r[..., None], axis=1)
+    # selection quantizes at 2^-12 relative; coords of near-equidistant
+    # alternates can differ, so compare the resulting DISTANCES
+    d1 = jnp.sum((a_rep - c1) ** 2, -1)
+    d1r = jnp.sum((a_rep - c1r) ** 2, -1)
+    d2 = jnp.sum((b - c2) ** 2, -1)
+    d2r = jnp.sum((b - c2r) ** 2, -1)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r),
+                               rtol=5e-4, atol=1e-6)
+    # and the coords themselves agree wherever the argmin agrees
+    c1_exact = np.isclose(np.asarray(c1), np.asarray(c1r),
+                          rtol=1e-5, atol=1e-6).all(-1)
+    c2_exact = np.isclose(np.asarray(c2), np.asarray(c2r),
+                          rtol=1e-5, atol=1e-6).all(-1)
+    assert c1_exact.mean() > 0.995 and c2_exact.mean() > 0.995
+
+
+def test_gathered_pair_dists_select_vs_gather(rng):
+    """The select-kernel objective path must reproduce the gather path's
+    d1/d2 AND their gradients wrt (R, T) (the solver's only trainables)."""
+    import jax
+
+    from houv_tpu.solvers.houv import _gathered_pair_dists
+
+    bsz, k, n, m = 1, 8, 64, 64
+    src = jnp.asarray(rng.standard_normal((bsz, n, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((bsz, m, 3)).astype(np.float32))
+    # a valid rotation per restart (square-orthonormalized noise)
+    q = rng.standard_normal((bsz, k, 3, 3)).astype(np.float32)
+    r = np.linalg.qr(q)[0].astype(np.float32)
+    r = jnp.asarray(r)
+    t = jnp.asarray(0.1 * rng.standard_normal((bsz, k, 3)).astype(np.float32))
+
+    def build(r, t, select):
+        src_t = jnp.einsum("bnc,bkdc->bknd", src, r) + t[:, :, None, :]
+        d1, d2 = _gathered_pair_dists(
+            src, tgt, src_t, r, t, use_pallas=False,
+            interpret=bool(select),
+        )
+        return d1, d2
+
+    d1s, d2s = build(r, t, True)
+    d1g, d2g = build(r, t, False)
+    np.testing.assert_allclose(np.asarray(d1s), np.asarray(d1g),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d2s), np.asarray(d2g),
+                               rtol=1e-4, atol=2e-5)
+
+    def loss(rt, select):
+        r, t = rt
+        d1, d2 = build(r, t, select)
+        return d1.mean() + d2.mean()
+
+    gs = jax.grad(loss)((r, t), True)
+    gg = jax.grad(loss)((r, t), False)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(gs),
+                      jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_mxu_scores_indices_match(rng):
+    """The extended-channel MXU score form selects the same neighbors as
+    the exact diff form away from ties (random clouds: ties measure-zero
+    at f32-grade score precision)."""
+    from houv_tpu.ops.chamfer import chamfer_indices
+
+    a = jnp.asarray(rng.standard_normal((4, 200, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4, 300, 3)).astype(np.float32))
+    i1d, i2d = chamfer_indices(a, b, interpret=True)
+    i1m, i2m = chamfer_indices(a, b, interpret=True, mxu_scores=True)
+    # scores quantize differently; argmin flips only for near-ties, so
+    # compare the resulting exact distances
+    d1d = jnp.sum((a - jnp.take_along_axis(b, i1d[..., None], 1)) ** 2, -1)
+    d1m = jnp.sum((a - jnp.take_along_axis(b, i1m[..., None], 1)) ** 2, -1)
+    d2d = jnp.sum((b - jnp.take_along_axis(a, i2d[..., None], 1)) ** 2, -1)
+    d2m = jnp.sum((b - jnp.take_along_axis(a, i2m[..., None], 1)) ** 2, -1)
+    np.testing.assert_allclose(np.asarray(d1m), np.asarray(d1d),
+                               rtol=1e-3, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d2m), np.asarray(d2d),
+                               rtol=1e-3, atol=3e-5)
+    assert (np.asarray(i1m) == np.asarray(i1d)).mean() > 0.99
+    assert (np.asarray(i2m) == np.asarray(i2d)).mean() > 0.99
