@@ -81,7 +81,8 @@ def chamfer_reference(a: Array, b: Array) -> tuple[Array, Array, Array, Array]:
 # differentiable).
 
 def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
-                    m_valid: int, idx_bits: int, mxu_scores: bool = False):
+                    m_valid: int, idx_bits: int, mxu_scores: bool = False,
+                    shared: bool = False):
     """Per batch row: packed (quantized dist, index) MINIMA.
 
     Squared distances are >= 0, and non-negative IEEE-754 floats compare
@@ -108,6 +109,13 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
     refs; p1_ref: (BB, TILE) int32 packed per-a min (-> nearest b);
     p2_ref: (BB, Mp) int32 packed per-b min (-> nearest a), accumulated
     across the sequential N-tile grid steps.
+
+    ``shared``: a_ref is (1, TILE, 8) — ONE query block serving every
+    batch row of the block (the HOUV solver's layout: the target cloud is
+    identical across the K restarts, so the wrapper stores it once and
+    its index_map divides the flat B·K batch row by K — saving the
+    HBM broadcast+pad of the query cloud across restarts, ~4.7 ms/step
+    at flagship shapes, BENCH_NOTES r3).
     """
     ni = pl.program_id(1)
     tile = a_ref.shape[1]
@@ -118,7 +126,7 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 0) + ni * tile
     for b in range(_BATCH_BLOCK):
-        a = a_ref[b]          # (TILE, 8) f32
+        a = a_ref[0] if shared else a_ref[b]   # (TILE, 8) f32
         bt = bt_ref[b]        # (8, Mp) f32
         if mxu_scores:
             a_hi = a.astype(jnp.bfloat16)
@@ -168,11 +176,30 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
                     mxu_scores: bool = False) -> tuple[Array, Array]:
     """(B, N, 3) × (B, M, 3) -> (i1 (B, N), i2 (B, M)) nearest indices in
     both directions from one fused kernel pass. ``mxu_scores`` scores via
-    the extended-channel matmul (see _nn_both_kernel)."""
+    the extended-channel matmul (see _nn_both_kernel).
+
+    SHARED-QUERY layout: ``a`` may carry a SMALLER batch (Bq) than ``b``
+    (Bk) when Bk % Bq == 0 — each a row serves K = Bk/Bq consecutive b
+    rows (the HOUV solver's restart expansion), stored once instead of
+    broadcast. Requires Bk and K divisible by the batch block. Outputs
+    are (Bk, N)/(Bk, M) either way."""
     bsz, n, _ = a.shape
-    m = b.shape[1]
+    bk, m, _ = b.shape
+    shared = bk != bsz
     bb = _BATCH_BLOCK
-    bp = _round_up(bsz, bb)
+    if shared:
+        if bk % bsz:
+            raise ValueError(f"query batch {bsz} does not divide {bk}")
+        k_share = bk // bsz
+        if bk % bb or k_share % bb:
+            raise ValueError(
+                f"shared-query layout needs batch {bk} and share factor "
+                f"{k_share} divisible by {bb}"
+            )
+        bp = bk
+    else:
+        k_share = 1
+        bp = _round_up(bsz, bb)
     tile = min(tile, _round_up(n, _LANE))
     np_ = _round_up(n, tile)
     mp = _round_up(m, _LANE)
@@ -195,21 +222,32 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
         b32 = jnp.concatenate(
             [-2.0 * b32, one_b, jnp.sum(b32 * b32, -1, keepdims=True)], -1)
     a_pad = jnp.pad(
-        a32, ((0, bp - bsz), (0, np_ - n), (0, 8 - a32.shape[-1])),
+        a32,
+        ((0, 0 if shared else bp - bsz), (0, np_ - n),
+         (0, 8 - a32.shape[-1])),
     )
     bt = jnp.swapaxes(b32, 1, 2)
-    bt = jnp.pad(bt, ((0, bp - bsz), (0, 8 - bt.shape[1]), (0, mp - m)))
+    bt = jnp.pad(bt, ((0, bp - bk), (0, 8 - bt.shape[1]), (0, mp - m)))
+
+    if shared:
+        a_spec = pl.BlockSpec(
+            (1, tile, 8),
+            lambda bi, ni, k=k_share: (bi * _BATCH_BLOCK // k, ni, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        a_spec = pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
+                              memory_space=pltpu.VMEM)
 
     grid = (bp // bb, np_ // tile)
     p1, p2 = pl.pallas_call(
         functools.partial(
             _nn_both_kernel, n_valid=n, m_valid=m, idx_bits=idx_bits,
-            mxu_scores=mxu_scores,
+            mxu_scores=mxu_scores, shared=shared,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, tile, 8), lambda bi, ni: (bi, ni, 0),
-                         memory_space=pltpu.VMEM),
+            a_spec,
             pl.BlockSpec((bb, 8, mp), lambda bi, ni: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -225,8 +263,8 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
         ],
         interpret=interpret,
     )(a_pad, bt)
-    i1 = jnp.bitwise_and(p1[:bsz, :n], low)
-    i2 = jnp.bitwise_and(p2[:bsz, :m], low)
+    i1 = jnp.bitwise_and(p1[:bk, :n], low)
+    i2 = jnp.bitwise_and(p2[:bk, :m], low)
     return i1, i2
 
 
@@ -429,6 +467,9 @@ def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
     (diff form) or ~2^-17·|a||b| absolute (``mxu_scores``, see
     _nn_both_kernel) — recompute exact distances from the returned
     indices where needed.
+
+    ``a`` may carry a smaller batch than ``b`` (shared-query layout, see
+    _nn_both_pallas); outputs always follow b's batch.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
@@ -437,6 +478,9 @@ def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
     if use_pallas or interpret:
         return _nn_both_pallas(sa, sb, interpret=interpret,
                                mxu_scores=mxu_scores)
+    if sa.shape[0] != sb.shape[0]:   # XLA fallback: materialize the share
+        k_share = sb.shape[0] // sa.shape[0]
+        sa = jnp.repeat(sa, k_share, axis=0)
     dist = pairwise_sqdist(sa, sb)
     return (
         jnp.argmin(dist, axis=-1).astype(jnp.int32),

@@ -109,7 +109,8 @@ def _auction_single(x1: Array, x2: Array, eps: float, iters: int):
     return d, assignment
 
 
-def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int):
+def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int,
+                  phases: int = 1, theta: float = 0.25):
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     if jax.default_backend() == "tpu" and x1.shape[1] == x2.shape[1]:
@@ -118,29 +119,38 @@ def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int):
         # per-round XLA chain below (BENCH_NOTES.md r2)
         from houv_tpu.ops.emd_kernel import emd_auction_pallas
 
-        return emd_auction_pallas(x1, x2, eps, iters)
+        return emd_auction_pallas(x1, x2, eps, iters, phases=phases,
+                                  theta=theta)
+    # XLA fallback ignores phases: it is the correctness path, and a
+    # single fixed-ε run at the requested ε meets the same contract.
     return jax.vmap(lambda a, b: _auction_single(a, b, eps, iters))(x1, x2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def emd_auction(
-    x1: Array, x2: Array, eps: float = 0.005, iters: int = 50
+    x1: Array, x2: Array, eps: float = 0.005, iters: int = 50,
+    phases: int = 1, theta: float = 0.25,
 ) -> tuple[Array, Array]:
     """Approximate EMD assignment. (B,N,3),(B,M,3) -> dist (B,N), assignment (B,N).
 
     eps/iters defaults follow the reference train setting (EMD README:8).
     Unlike the CUDA version there is no n % 1024 == 0 or batch <= 512
     constraint; n == m is still required for a meaningful matching.
+
+    ``phases`` > 1 enables ε-scaling on the TPU kernel (ops/emd_kernel.py):
+    same final-ε complementary-slackness guarantee, far fewer auction
+    rounds at eval-grade ε. The reference's fixed-ε semantics are the
+    default (phases=1).
     """
-    return _emd_fwd_impl(x1, x2, eps, iters)
+    return _emd_fwd_impl(x1, x2, eps, iters, phases, theta)
 
 
-def _emd_fwd(x1, x2, eps, iters):
-    dist, assignment = _emd_fwd_impl(x1, x2, eps, iters)
+def _emd_fwd(x1, x2, eps, iters, phases, theta):
+    dist, assignment = _emd_fwd_impl(x1, x2, eps, iters, phases, theta)
     return (dist, assignment), (x1, x2, assignment)
 
 
-def _emd_bwd(eps, iters, res, g):
+def _emd_bwd(eps, iters, phases, theta, res, g):
     x1, x2, assignment = res
     g_dist, _ = g
     matched = jnp.take_along_axis(

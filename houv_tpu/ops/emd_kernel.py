@@ -46,12 +46,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
-                n_valid: int, iters: int, idx_bits: int):
+                n_valid: int, iters: int, idx_bits: int, phases: int = 1,
+                theta: float = 0.25):
     """One pair per grid step.
 
     x1_ref/x2_ref: (1, 8, Np/Mp) coordinate-major clouds; eps_ref: (1, 1)
     SMEM scalar; assign_ref: (1, Np) int32 item per bidder; dist_ref:
     (1, Np) matched squared distance; dmat_ref: (Np, Mp) f32 VMEM scratch.
+
+    ``phases`` > 1 enables ε-SCALING (Bertsekas' standard acceleration,
+    absent from the reference's fixed-ε CUDA auction): phase p runs the
+    auction at ε·θ^(phases-1-p), keeping the learned PRICES across phases
+    but restarting the assignment. Early phases move prices in large
+    steps; the final phase runs at the requested ε, so the result carries
+    the same ε-complementary-slackness guarantee as a fixed-ε run — only
+    reached in far fewer total rounds (the fixed-ε round count scales
+    like max|d|/ε; scaling costs ~N rounds per phase).
     """
     np_ = dmat_ref.shape[0]
     mp = dmat_ref.shape[1]
@@ -97,9 +107,10 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
         )
 
     def body(state):
-        it, owner, price, n_unass = state
+        it, owner, price, n_unass, eps_p = state
         # owner (1, Mp) int32 bidder-per-item (-1 = unowned);
-        # price (1, Mp) f32 >= 0; n_unass traced scalar.
+        # price (1, Mp) f32 >= 0; n_unass traced scalar; eps_p the
+        # phase's bid increment (== eps when phases == 1).
         d = dmat_ref[:, :]
         value = -d - price  # (Np, Mp), <= 0
         kv = pack_leq0(value, low - col_i)
@@ -109,7 +120,7 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
                        keepdims=True)
         better = jnp.max(jnp.where(onehot, -jnp.inf, value), axis=1,
                          keepdims=True)                    # (Np, 1)
-        inc = best - better + eps                          # (Np, 1) > 0
+        inc = best - better + eps_p                        # (Np, 1) > 0
 
         # membership: bidder i is assigned iff some item's owner == i
         assigned = jnp.max(
@@ -140,19 +151,33 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
             jnp.where(owner.T == bidder_i, 1, 0), axis=0, keepdims=True
         )
         n_unass = jnp.sum(1 - assigned2)
-        return it + 1, owner, price, n_unass
+        return it + 1, owner, price, n_unass, eps_p
 
     def cond(state):
-        it, _, _, n_unass = state
+        it, _, _, n_unass, _ = state
         return jnp.logical_and(it < iters, n_unass > 0)
 
-    init = (
-        jnp.int32(0),
-        jnp.full((1, mp), -1, jnp.int32),
-        jnp.zeros((1, mp), jnp.float32),
-        jnp.int32(np_),
-    )
-    _, owner, _, _ = jax.lax.while_loop(cond, body, init)
+    no_owner = jnp.full((1, mp), -1, jnp.int32)
+    zero_price = jnp.zeros((1, mp), jnp.float32)
+    if phases == 1:
+        init = (jnp.int32(0), no_owner, zero_price, jnp.int32(np_), eps)
+        _, owner, _, _, _ = jax.lax.while_loop(cond, body, init)
+    else:
+        # ε-scaling: each phase restarts the assignment but keeps prices;
+        # the last phase runs at the requested ε.
+        def run_phase(p, carry):
+            _, price = carry
+            eps_p = eps * jnp.power(
+                jnp.float32(theta),
+                jnp.float32(phases - 1) - p.astype(jnp.float32),
+            )
+            init = (jnp.int32(0), no_owner, price, jnp.int32(np_), eps_p)
+            _, owner, price, _, _ = jax.lax.while_loop(cond, body, init)
+            return owner, price
+
+        owner, _ = jax.lax.fori_loop(
+            0, phases, run_phase, (no_owner, zero_price)
+        )
 
     # assignment per bidder from owner-per-item: packed max over the
     # membership matrix (complemented item index -> smallest item wins)
@@ -176,10 +201,17 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
     dist_ref[0, 0, :] = jnp.max(jnp.where(chosen, d, -jnp.inf), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "interpret", "phases", "theta")
+)
 def emd_auction_pallas(x1: Array, x2: Array, eps: float | Array = 0.005,
-                       iters: int = 50, interpret: bool = False):
-    """(B, N, 3) × (B, N, 3) -> (dist (B, N), assignment (B, N))."""
+                       iters: int = 50, interpret: bool = False,
+                       phases: int = 1, theta: float = 0.25):
+    """(B, N, 3) × (B, N, 3) -> (dist (B, N), assignment (B, N)).
+
+    ``phases`` > 1 = ε-scaling (see _emd_kernel): same final-ε guarantee,
+    far fewer rounds at small ε. ``iters`` caps EACH phase (early exit
+    makes the cap slack)."""
     bsz, n, _ = x1.shape
     m = x2.shape[1]
     if n != m:
@@ -195,7 +227,8 @@ def emd_auction_pallas(x1: Array, x2: Array, eps: float | Array = 0.005,
 
     assignment, dist = pl.pallas_call(
         functools.partial(
-            _emd_kernel, n_valid=n, iters=iters, idx_bits=idx_bits
+            _emd_kernel, n_valid=n, iters=iters, idx_bits=idx_bits,
+            phases=phases, theta=theta,
         ),
         grid=(bsz,),
         in_specs=[

@@ -324,10 +324,16 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
 
     # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
     # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
-    tgt_r = jnp.broadcast_to(
-        tgt[:, None], (bsz, kernel, m, 3)
-    ).reshape(bsz * kernel, m, 3)
-    i1, i2 = chamfer_indices(tgt_r, flat_src_t, use_pallas)
+    # Shared-query layout: the Pallas kernel stores tgt ONCE and maps the
+    # flat B·K batch row back to its pair (no HBM broadcast+pad across
+    # restarts); the XLA fallback broadcasts inside chamfer_indices.
+    if kernel % _BATCH_BLOCK == 0:
+        i1, i2 = chamfer_indices(tgt, flat_src_t, use_pallas)
+    else:
+        tgt_r = jnp.broadcast_to(
+            tgt[:, None], (bsz, kernel, m, 3)
+        ).reshape(bsz * kernel, m, 3)
+        i1, i2 = chamfer_indices(tgt_r, flat_src_t, use_pallas)
     i1 = jax.lax.stop_gradient(i1)                  # (B·K, M) -> src rows
     i2 = jax.lax.stop_gradient(i2)                  # (B·K, N) -> tgt rows
     # Row gathers as hi/lo one-hot matmuls (ops/gather.py): all K restarts

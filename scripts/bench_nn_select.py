@@ -74,11 +74,33 @@ def main():
 
         return idx_loop
 
+    @jax.jit
+    def idx_shared_loop(a, b):
+        def body(i, acc):
+            i1, i2 = chamfer_indices(a + 0.0 * acc.astype(jnp.float32), b)
+            return acc + i1.sum() + i2.sum()
+
+        return jax.lax.fori_loop(0, 10, body, jnp.int32(0))
+
+    @jax.jit
+    def gather_shared_loop(a, b):
+        def body(i, acc):
+            i1, i2 = chamfer_indices(a + 0.0 * acc, b)
+            c1 = gather_rows(b, i1)
+            c2 = gather_rows(
+                a, i2.reshape(bsz, k * m)
+            ).reshape(bsz * k, m, 3)
+            return acc + c1.sum() + c2.sum()
+
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0))
+
     for name, f in (
         ("idx-diff", make_idx_loop(False)),
+        ("idx-shared", idx_shared_loop),
         ("idx-mxu", make_idx_loop(True)),
         ("select", select_loop),
         ("gather-diff", make_gather_loop(False)),
+        ("gather-shared", gather_shared_loop),
         ("gather-mxu", make_gather_loop(True)),
     ):
         t0 = time.perf_counter()

@@ -255,3 +255,32 @@ def test_mxu_scores_indices_match(rng):
                                rtol=1e-3, atol=3e-5)
     assert (np.asarray(i1m) == np.asarray(i1d)).mean() > 0.99
     assert (np.asarray(i2m) == np.asarray(i2d)).mean() > 0.99
+
+
+def test_shared_query_indices_match_broadcast(rng):
+    """The shared-query kernel layout (a stored once per K restart rows)
+    returns exactly the indices of the broadcast layout."""
+    from houv_tpu.ops.chamfer import chamfer_indices
+
+    bsz, k, n, m = 2, 8, 96, 130
+    a = jnp.asarray(rng.standard_normal((bsz, n, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((bsz * k, m, 3)).astype(np.float32))
+    i1s, i2s = chamfer_indices(a, b, interpret=True)
+    a_rep = jnp.repeat(a, k, axis=0)
+    i1r, i2r = chamfer_indices(a_rep, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1s), np.asarray(i1r))
+    np.testing.assert_array_equal(np.asarray(i2s), np.asarray(i2r))
+    # XLA fallback accepts the mismatched batch too
+    i1x, i2x = chamfer_indices(a, b, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(i1x), np.asarray(i1r))
+    np.testing.assert_array_equal(np.asarray(i2x), np.asarray(i2r))
+
+
+def test_shared_query_rejects_bad_split(rng):
+    from houv_tpu.ops.chamfer import _nn_both_pallas
+
+    a = jnp.zeros((3, 32, 3), jnp.float32)
+    b = jnp.zeros((12, 32, 3), jnp.float32)   # k_share=4 not multiple of 8
+    import pytest
+    with pytest.raises(ValueError):
+        _nn_both_pallas(a, b, interpret=True)

@@ -118,3 +118,41 @@ def test_pallas_kernel_identity_assignment(rng):
     perm = rng.permutation(128)
     d, a = emd_auction_pallas(x, x[:, perm], 0.002, 500, interpret=True)
     assert float(d.mean()) < 1e-4
+
+
+def test_pallas_eps_scaling_matches_fixed_eps(rng):
+    """ε-scaling (phases>1) keeps the final-ε quality contract: cost within
+    the fixed-ε run's tolerance of the Hungarian optimum, bijective
+    assignment, exact per-pair distances."""
+    from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+    x1 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    j1, j2 = jnp.asarray(x1), jnp.asarray(x2)
+    d_s, a_s = emd_auction_pallas(j1, j2, 0.002, 2000, interpret=True,
+                                  phases=4, theta=0.1)
+    exact = _hungarian_emd(x1, x2)
+    approx = np.asarray(d_s).mean(axis=1)
+    assert (approx <= exact + 0.01).all()
+    assert (approx >= exact - 1e-6).all()
+    for b in range(2):
+        assert len(np.unique(np.asarray(a_s[b]))) == 128
+    diff = j1 - jnp.take_along_axis(j2, a_s[..., None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray((diff ** 2).sum(-1)), np.asarray(d_s), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_emd_auction_phases_public_api(rng):
+    """phases threads through emd_auction + its VJP (gradient to x1 only)."""
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 64, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(0, 1, (1, 64, 3)).astype(np.float32))
+
+    def loss(a, b):
+        d, _ = emd_auction(a, b, 0.002, 500, 3, 0.1)
+        return d.mean()
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x1, x2)
+    assert float(jnp.abs(g1).sum()) > 0
+    assert float(jnp.abs(g2).sum()) == 0
