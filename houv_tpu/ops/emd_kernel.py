@@ -164,19 +164,18 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
         _, owner, _, _, _ = jax.lax.while_loop(cond, body, init)
     else:
         # ε-scaling: each phase restarts the assignment but keeps prices;
-        # the last phase runs at the requested ε.
+        # the last phase runs at the requested ε. The per-phase ε rides
+        # the loop carry (eps·θ^k with a traced exponent lowers to
+        # math.powf, which Mosaic cannot legalize).
         def run_phase(p, carry):
-            _, price = carry
-            eps_p = eps * jnp.power(
-                jnp.float32(theta),
-                jnp.float32(phases - 1) - p.astype(jnp.float32),
-            )
+            _, price, eps_p = carry
             init = (jnp.int32(0), no_owner, price, jnp.int32(np_), eps_p)
             _, owner, price, _, _ = jax.lax.while_loop(cond, body, init)
-            return owner, price
+            return owner, price, eps_p * theta
 
-        owner, _ = jax.lax.fori_loop(
-            0, phases, run_phase, (no_owner, zero_price)
+        eps0 = eps * float(theta) ** -(phases - 1)
+        owner, _, _ = jax.lax.fori_loop(
+            0, phases, run_phase, (no_owner, zero_price, eps0)
         )
 
     # assignment per bidder from owner-per-item: packed max over the
