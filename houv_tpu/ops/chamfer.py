@@ -125,7 +125,7 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
     # loop-invariant index planes, built once for all unrolled batch rows
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, mp), 0) + ni * tile
-    for b in range(_BATCH_BLOCK):
+    for b in range(bt_ref.shape[0]):
         a = a_ref[0] if shared else a_ref[b]   # (TILE, 8) f32
         bt = bt_ref[b]        # (8, Mp) f32
         if mxu_scores:
@@ -169,11 +169,12 @@ def _nn_both_kernel(a_ref, bt_ref, p1_ref, p2_ref, *, n_valid: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "interpret", "mxu_scores")
+    jax.jit, static_argnames=("tile", "interpret", "mxu_scores", "bb")
 )
 def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
                     interpret: bool = False,
-                    mxu_scores: bool = False) -> tuple[Array, Array]:
+                    mxu_scores: bool = False,
+                    bb: int | None = None) -> tuple[Array, Array]:
     """(B, N, 3) × (B, M, 3) -> (i1 (B, N), i2 (B, M)) nearest indices in
     both directions from one fused kernel pass. ``mxu_scores`` scores via
     the extended-channel matmul (see _nn_both_kernel).
@@ -186,7 +187,7 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
     bsz, n, _ = a.shape
     bk, m, _ = b.shape
     shared = bk != bsz
-    bb = _BATCH_BLOCK
+    bb = _BATCH_BLOCK if bb is None else bb
     if shared:
         if bk % bsz:
             raise ValueError(f"query batch {bsz} does not divide {bk}")
@@ -232,7 +233,7 @@ def _nn_both_pallas(a: Array, b: Array, tile: int = 256,
     if shared:
         a_spec = pl.BlockSpec(
             (1, tile, 8),
-            lambda bi, ni, k=k_share: (bi * _BATCH_BLOCK // k, ni, 0),
+            lambda bi, ni, k=k_share, bb=bb: (bi * bb // k, ni, 0),
             memory_space=pltpu.VMEM,
         )
     else:
@@ -458,7 +459,8 @@ def nn_select_pallas(a: Array, b: Array, tile: int = 128,
 
 def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
                     interpret: bool = False,
-                    mxu_scores: bool = False) -> tuple[Array, Array]:
+                    mxu_scores: bool = False,
+                    bb: int | None = None) -> tuple[Array, Array]:
     """Nearest-neighbor indices both ways, no gradients:
     i1[b, i] = argmin_j ||a_i - b_j||², i2[b, j] = argmin_i ||a_i - b_j||².
 
@@ -477,7 +479,7 @@ def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
     sb = jax.lax.stop_gradient(b).astype(jnp.float32)
     if use_pallas or interpret:
         return _nn_both_pallas(sa, sb, interpret=interpret,
-                               mxu_scores=mxu_scores)
+                               mxu_scores=mxu_scores, bb=bb)
     if sa.shape[0] != sb.shape[0]:   # XLA fallback: materialize the share
         k_share = sb.shape[0] // sa.shape[0]
         sa = jnp.repeat(sa, k_share, axis=0)
