@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from houv_tpu.geometry.kabsch import weighted_kabsch
+from houv_tpu.ops.gather import gather_edge_features
 from houv_tpu.ops.grouping import (
     gather_points,
     grouping_operation,
@@ -119,10 +120,9 @@ def get_graph_feature(x: Array, k: int = 20, minus_center: bool = True) -> Array
 
 def get_edge_features(x: Array, idx: Array) -> Array:
     """Gather neighbor features by precomputed kNN indices:
-    (B, N, C) × (B, M, k) -> (B, M, k, C)."""
-    b, m, k = idx.shape
-    flat = jnp.take_along_axis(x, idx.reshape(b, m * k)[..., None], axis=1)
-    return flat.reshape(b, m, k, x.shape[-1])
+    (B, N, C) × (B, M, k) -> (B, M, k, C). One-hot matmul on TPU at hot
+    sizes (ops/gather.py), take_along_axis elsewhere."""
+    return gather_edge_features(x, idx)
 
 
 class EFExpansion(nn.Module):

@@ -25,6 +25,7 @@ from houv_tpu.metrics import calc_cd
 from houv_tpu.models.pcn import PCNEncoderLabel
 from houv_tpu.models.voxelnet import Asymm3DSpconv
 from houv_tpu.models.vrcnet import SASKNResEncoder
+from houv_tpu.ops.gather import gather_rows
 from houv_tpu.ops.sampling import furthest_point_sample
 
 Array = jax.Array
@@ -68,7 +69,9 @@ class KNNDecoder(nn.Module):
         fine = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(fine_feat)))
 
         idx = furthest_point_sample(fine, self.num_native)
-        native_feat = jnp.take_along_axis(fine_feat, idx[..., None], axis=1)
+        # (B, 2048) rows from (B, 3072, 1024): one-hot dot beats the XLA
+        # gather + scatter-adjoint pair at this size (ops/gather.py)
+        native_feat = gather_rows(fine_feat, idx)
         native = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(native_feat)))
         return coarse, fine, native
 

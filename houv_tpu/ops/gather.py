@@ -50,6 +50,42 @@ def gather_rows_onehot(table: Array, idx: Array) -> Array:
     return out[..., :c] + out[..., c:]
 
 
+# One-hot kNN-neighbor gathers start beating take_along_axis well below
+# this, but each one-hot dot is extra compiled code; gate to the hot sizes.
+_EDGE_ONEHOT_MIN_MACS = 1 << 27
+
+
+def gather_edge_features(x: Array, idx: Array) -> Array:
+    """kNN neighbor gather: (B, U, C) × (B, M, k) int -> (B, M, k, C).
+
+    On TPU at large volumes the gather runs as a one-hot matmul: XLA's
+    row gather + its scatter-add adjoint were the top non-matmul ops in
+    the vrcnet_knn step profile (22.8 ms fwd+bwd at (16, 3072, k16, c64)
+    vs 8.0 for the one-hot dot — BENCH_NOTES r3). bf16 tables take a
+    single exact plane; f32 tables go through the hi/lo split
+    (``gather_rows_onehot``, ~2^-17 relative). Elsewhere (CPU, small
+    sizes) it stays ``take_along_axis``.
+    """
+    b, m, k = idx.shape
+    u, c = x.shape[1], x.shape[2]
+    flat_idx = idx.reshape(b, m * k).astype(jnp.int32)
+    macs = b * m * k * u * c
+    if jax.default_backend() == "tpu" and macs >= _EDGE_ONEHOT_MIN_MACS:
+        if x.dtype == jnp.bfloat16:
+            onehot = (
+                flat_idx[..., None] == jnp.arange(u, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)
+            out = jnp.einsum(
+                "blm,bmc->blc", onehot, x,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)  # exact: one bf16 value per output row
+        else:
+            out = gather_rows_onehot(x, flat_idx).astype(x.dtype)
+    else:
+        out = jnp.take_along_axis(x, flat_idx[..., None], axis=1)
+    return out.reshape(b, m, k, c)
+
+
 def gather_rows(table: Array, idx: Array, use_onehot: bool | None = None
                 ) -> Array:
     """Row gather with backend dispatch: the one-hot matmul form on TPU,

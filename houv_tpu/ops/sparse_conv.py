@@ -217,6 +217,87 @@ def _match_conv(features: Array, src_flat: Array, query_flat: Array,
     )
 
 
+def _scatter_match_down(features: Array, src_coords: Array, src_mask: Array,
+                        out_flat: Array, out_g: int, weights: Array,
+                        stride: tuple[int, int, int], grid_size: int,
+                        compute_dtype) -> Array:
+    """Strided sparse conv as a SOURCE-scatter one-hot contraction.
+
+    The im2col-direction match (``_match_conv``) pays K·U one-hot columns
+    per output site (27·2048 at champion shapes — the single most
+    expensive fusion in the vrcnet_knn step profile). Flipping the
+    direction shrinks it: under stride 2 a source coord s reaches only
+    o ∈ {s>>1, s>>1+1} per dim (the latter only when s is odd), so each
+    source row matches at most J = Π(2 if stride==2 else 3) candidate
+    coarse sites — J=8 for (2,2,2) vs K=27, i.e. 3.4× less one-hot MXU
+    work at identical semantics:
+
+        y[o] = Σ_j Σ_u 1[t_j[u] = id[o]] · (x[u] · W_{k_j[u]})
+
+    The tap k_j[u] follows from the source parity alone, applied per row
+    via a 27-way one-hot einsum over the precomputed (B, U, 27, D) tap
+    products (same tensor footprint the im2col path materializes). Every
+    factor is an einsum, so the adjoint is transposed matmuls — no
+    scatter anywhere. Invalid candidates (even coord with the +1 choice,
+    out-of-extent, masked rows) carry sentinel -1 and match nothing.
+
+    features (B, U, C), src_coords (B, U, 3), src_mask (B, U),
+    out_flat (B, O) cubic-``out_g``-raster ids (masked rows < -1),
+    weights (27, C, D) in ``kernel_offsets((3,3,3))`` order -> (B, O, D).
+    """
+    w = weights.astype(compute_dtype)
+    x = features.astype(compute_dtype)
+    dims_ext = [-(-grid_size // stride[i]) for i in range(3)]
+    cands = [range(2) if stride[i] == 2 else range(3) for i in range(3)]
+    t_list, k_list = [], []
+    for combo in itertools.product(*cands):
+        o_dims, off_dims = [], []
+        valid = src_mask
+        for i, e in enumerate(combo):
+            si = src_coords[..., i]
+            if stride[i] == 2:
+                if e == 0:
+                    o = si >> 1                      # always in extent
+                    off = si & 1                     # center or +1 tap
+                else:
+                    o = (si >> 1) + 1
+                    off = jnp.full_like(si, -1)
+                    valid = valid & ((si & 1) == 1) & (o < dims_ext[i])
+            else:  # stride-1 dim: submanifold-like, all three taps
+                o = si - (e - 1)
+                off = jnp.full_like(si, e - 1)
+                valid = valid & (o >= 0) & (o < dims_ext[i])
+            o_dims.append(o)
+            off_dims.append(off)
+        t = (o_dims[0] * out_g + o_dims[1]) * out_g + o_dims[2]
+        k = ((off_dims[0] + 1) * 3 + off_dims[1] + 1) * 3 + off_dims[2] + 1
+        t_list.append(jnp.where(valid, t, -1))
+        k_list.append(jnp.where(valid, k, -1))
+    t = jnp.stack(t_list, axis=-1)                   # (B, U, J)
+    kk = jnp.stack(k_list, axis=-1)                  # (B, U, J)
+
+    xw = jnp.einsum(
+        "buc,kcd->bukd", x, w, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)                          # (B, U, 27, D)
+    sel = (
+        kk[..., None] == jnp.arange(w.shape[0], dtype=jnp.int32)
+    ).astype(compute_dtype)                          # (B, U, J, 27)
+    z = jnp.einsum(
+        "bujk,bukd->bujd", sel, xw, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)                          # (B, U, J, D)
+    match = (
+        out_flat[:, :, None, None] == t[:, None, :, :]
+    ).astype(compute_dtype)                          # (B, O, U, J) fused
+    return jnp.einsum(
+        "bouj,bujd->bod", match, z, preferred_element_type=jnp.float32
+    )
+
+
+# A/B escape hatch: HOUV_TPU_DOWN_IM2COL=1 keeps strided convs on the
+# im2col-direction match einsum (benchmark comparisons).
+_SCATTER_DOWN_DISABLED = os.environ.get("HOUV_TPU_DOWN_IM2COL", "") == "1"
+
+
 def _neighbor_query_flat(base_coords: Array, base_mask: Array, offsets,
                          grid_size: int) -> Array:
     """Flat source-grid ids of every (site, kernel-offset) neighbor;
@@ -494,6 +575,13 @@ def sparse_conv_down_features(
     if _use_match_conv(compute_dtype):
         g = sg.grid_size
         feats = feats * sg.mask[..., None].astype(feats.dtype)
+        if not _SCATTER_DOWN_DISABLED:
+            out_g = max(-(-g // stride[i]) for i in range(3))
+            out_flat = _flat_coords(out_coords, out_mask, out_g, -2)
+            return _scatter_match_down(
+                feats, sg.coords, sg.mask, out_flat, out_g, weights,
+                stride, g, compute_dtype,
+            )
         src_flat = _flat_coords(sg.coords, sg.mask, g, g * g * g)
         qf = _neighbor_query_flat(base, out_mask, offsets, g)
         return _match_conv(feats, src_flat, qf, weights, compute_dtype)

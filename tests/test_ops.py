@@ -263,6 +263,42 @@ def test_knn_points_pallas_path_values_and_grads(rng):
     assert np.isfinite(np.asarray(g_dense)).all()
 
 
+def test_gather_edge_features_onehot(rng, monkeypatch):
+    """The kNN-neighbor one-hot gather (TPU hot path of the SA/decoder
+    stacks) == take_along_axis: exact for bf16 tables (single plane),
+    hi/lo precision for f32. Forced through the one-hot branch on CPU."""
+    import jax.numpy as jnp
+
+    import houv_tpu.ops.gather as gather_mod
+
+    x32 = jnp.asarray(rng.standard_normal((2, 70, 5)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 70, (2, 33, 4)).astype(np.int32))
+    ref32 = jnp.take_along_axis(
+        x32, idx.reshape(2, -1)[..., None], axis=1).reshape(2, 33, 4, 5)
+
+    monkeypatch.setattr(gather_mod, "_EDGE_ONEHOT_MIN_MACS", 0)
+    monkeypatch.setattr(gather_mod.jax, "default_backend", lambda: "tpu")
+    got32 = gather_mod.gather_edge_features(x32, idx)
+    assert got32.dtype == x32.dtype
+    np.testing.assert_allclose(
+        np.asarray(got32), np.asarray(ref32), rtol=0, atol=3e-5)
+
+    x16 = x32.astype(jnp.bfloat16)
+    got16 = gather_mod.gather_edge_features(x16, idx)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got16.astype(np.float32)),
+        np.asarray(jnp.take_along_axis(
+            x16, idx.reshape(2, -1)[..., None], axis=1
+        ).reshape(2, 33, 4, 5).astype(np.float32)),
+    )
+    monkeypatch.undo()
+    # CPU dispatch (take_along_axis) must be exact
+    np.testing.assert_array_equal(
+        np.asarray(gather_mod.gather_edge_features(x32, idx)),
+        np.asarray(ref32))
+
+
 def test_gather_rows_onehot_exact(rng):
     """The hi/lo one-hot matmul gather (ops/gather.py) must reproduce
     take_along_axis to f32 hi/lo-reconstruction precision (~2^-17 rel).

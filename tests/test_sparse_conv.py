@@ -155,6 +155,68 @@ def test_match_conv_parity_down(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("stride", [(2, 2, 2), (2, 2, 1)])
+def test_scatter_match_down_parity(rng, stride):
+    """The source-scatter strided-conv formulation == the gather path.
+    f32 one-hots are exact; bf16 (the TPU compute dtype) adds one
+    rounding of the per-source tap products (z), so loose tolerance."""
+    from houv_tpu.ops.sparse_conv import (
+        _flat_coords, _scatter_match_down, downsample_sites,
+        sparse_conv_down_features)
+
+    sg = _random_sparse(rng, b=2, n=40, g=8, c=5)
+    w = jnp.asarray(rng.standard_normal((27, 5, 6)).astype(np.float32))
+    lk = build_lookup(sg)
+    out_coords, out_mask, out_g = downsample_sites(sg, stride)
+    ref = sparse_conv_down_features(
+        sg, lk, w, out_coords, out_mask, stride, None)  # f32 gather path
+
+    feats = sg.features * sg.mask[..., None]
+    out_flat = _flat_coords(out_coords, out_mask, out_g, -2)
+    out32 = _scatter_match_down(
+        feats, sg.coords, sg.mask, out_flat, out_g, w, stride,
+        sg.grid_size, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    out16 = _scatter_match_down(
+        feats, sg.coords, sg.mask, out_flat, out_g, w, stride,
+        sg.grid_size, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_scatter_match_down_grad_parity(rng):
+    """Feature gradients of the scatter formulation == the gather path's
+    (both all-einsum/autodiff; f32 one-hots for exactness)."""
+    from houv_tpu.ops.sparse_conv import (
+        _flat_coords, _scatter_match_down, downsample_sites,
+        sparse_conv_down_features)
+
+    sg = _random_sparse(rng, b=2, n=40, g=8, c=5)
+    w = jnp.asarray(rng.standard_normal((27, 5, 6)).astype(np.float32))
+    lk = build_lookup(sg)
+    out_coords, out_mask, out_g = downsample_sites(sg, (2, 2, 2))
+    out_flat = _flat_coords(out_coords, out_mask, out_g, -2)
+
+    def loss_ref(f):
+        s2 = SparseGrid(f, sg.coords, sg.mask, sg.grid_size)
+        out = sparse_conv_down_features(
+            s2, lk, w, out_coords, out_mask, (2, 2, 2), None)
+        return jnp.sum(out * out)
+
+    def loss_new(f):
+        fm = f * sg.mask[..., None]
+        out = _scatter_match_down(
+            fm, sg.coords, sg.mask, out_flat, out_g, w, (2, 2, 2),
+            sg.grid_size, jnp.float32)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(loss_ref)(sg.features)
+    g_new = jax.grad(loss_new)(sg.features)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_banded_match_conv_parity(rng):
     """The banded match path == the full one-hot match path, for both a
     kernel whose inactive axis is already the raster major axis ((1,3,3))
