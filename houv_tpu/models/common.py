@@ -200,17 +200,27 @@ class MultiHeadAttention(nn.Module):
 
 
 def edge_preserve_sampling(
-    features: Array, points: Array, num_samples: int, k: int = 10
+    features: Array, points: Array, num_samples: int, k: int = 10,
+    precomputed: tuple | None = None,
 ):
     """FPS + neighborhood-max pooling (reference completion/
     model_utils.py:90-117).
 
     features (B, N, C), points (B, N, 3) ->
-      (pooled (B, M, 2C), fps_idx (B, M), sampled points (B, M, 3))."""
-    p_idx = furthest_point_sample(points, num_samples)
-    sampled = jnp.take_along_axis(points, p_idx[..., None], axis=1)
-    pk = min(k, points.shape[1])
-    _, pn_idx = knn_points(sampled, points, pk)  # (B, M, pk)
+      (pooled (B, M, 2C), fps_idx (B, M), sampled points (B, M, 3)).
+
+    ``precomputed``: optional (p_idx, pn_idx, sampled) triple from
+    ``vrcnet.saskn_geometry`` — the FPS/kNN indices depend only on the
+    coordinates, so callers under ``nn.remat`` hoist them out of the
+    checkpointed region (saved as residuals instead of recomputed by the
+    backward pass)."""
+    if precomputed is not None:
+        p_idx, pn_idx, sampled = precomputed
+    else:
+        p_idx = furthest_point_sample(points, num_samples)
+        sampled = jnp.take_along_axis(points, p_idx[..., None], axis=1)
+        pk = min(k, points.shape[1])
+        _, pn_idx = knn_points(sampled, points, pk)  # (B, M, pk)
     neighbor = get_edge_features(features, pn_idx).max(axis=2)  # (B, M, C)
     center = jnp.take_along_axis(features, p_idx[..., None], axis=1)
     return jnp.concatenate([center, neighbor], axis=-1), p_idx, sampled

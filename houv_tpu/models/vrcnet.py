@@ -133,6 +133,36 @@ class SKNResUnit(nn.Module):
         return out.astype(jnp.float32)
 
 
+def saskn_geometry(points: Array, pts_num: tuple, ks: tuple, pk: int):
+    """Coordinate-only geometry for ``SASKNResEncoder``: the point
+    pyramid (FPS), per-level kNN graphs, grouping neighborhoods, and
+    three-nn unpooling weights depend only on the input coordinates, not
+    on learned features. Computing them here — outside an ``nn.remat``
+    scope — saves them as residuals so the backward pass does not replay
+    the Pallas kNN/FPS kernels (~16 ms/step at the champion shapes).
+
+    Returns {'knn': [[idx per k] per level], 'eps': [(p_idx, pn_idx,
+    sampled) per downsample], 'unpool': [(idx, w) per upsample, deepest
+    first]}."""
+    pts = points
+    pts_list = [pts]
+    knn_lvls, eps = [], []
+    for lvl in range(len(pts_num)):
+        knn_lvls.append([knn_points(pts, pts, k)[1] for k in ks])
+        if lvl + 1 < len(pts_num):
+            p_idx = furthest_point_sample(pts, pts_num[lvl + 1])
+            sampled = jnp.take_along_axis(pts, p_idx[..., None], axis=1)
+            _, pn_idx = knn_points(sampled, pts, min(pk, pts.shape[1]))
+            eps.append((p_idx, pn_idx, sampled))
+            pts_list.append(sampled)
+            pts = sampled
+    unpool = [
+        three_nn_upsampling(pts_list[lvl - 1], pts_list[lvl])
+        for lvl in range(len(pts_num) - 1, 0, -1)
+    ]
+    return {"knn": knn_lvls, "eps": eps, "unpool": unpool}
+
+
 class SASKNResEncoder(nn.Module):
     """U-Net of SK-SA units over point resolutions with edge pooling /
     three-nn unpooling (reference vrcnet.py:228-362).
@@ -154,35 +184,38 @@ class SASKNResEncoder(nn.Module):
     # softmax/pooling/unpool math f32). None = full f32.
     compute_dtype: str | None = None
 
-    def _knn_idxs(self, pts):
-        return [knn_points(pts, pts, k)[1] for k in self.ks]
-
     @nn.compact
-    def __call__(self, features: Array, train: bool = False) -> Array:
+    def __call__(self, features: Array, train: bool = False,
+                 geo: dict | None = None) -> Array:
         b = features.shape[0]
         c1 = 64
         pt1 = features[..., :3]
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if geo is None:
+            geo = saskn_geometry(pt1, self.pts_num, self.ks, self.pk)
 
-        def unpool(feat, src_pts, tgt_pts):
-            idx, w = three_nn_upsampling(tgt_pts, src_pts)
+        unpools = iter(geo["unpool"])
+
+        def unpool(feat):
+            idx, w = next(unpools)
             return jnp.swapaxes(
                 three_interpolate(jnp.swapaxes(feat, 1, 2), idx, w), 1, 2
             )
 
         unit = nn.remat(SKNResUnit) if self.remat else SKNResUnit
-        x = unit(c1, self.ks, self.layers[0], dt)(
-            features, self._knn_idxs(pt1)
-        )
+        x = unit(c1, self.ks, self.layers[0], dt)(features, geo["knn"][0])
         x1 = nn.relu(x)
-        x, _, pt2 = edge_preserve_sampling(x1, pt1, self.pts_num[1], self.pk)
-        x = unit(c1 * 2, self.ks, self.layers[1], dt)(x, self._knn_idxs(pt2))
+        x, _, pt2 = edge_preserve_sampling(x1, pt1, self.pts_num[1], self.pk,
+                                           precomputed=geo["eps"][0])
+        x = unit(c1 * 2, self.ks, self.layers[1], dt)(x, geo["knn"][1])
         x2 = nn.relu(x)
-        x, _, pt3 = edge_preserve_sampling(x2, pt2, self.pts_num[2], self.pk)
-        x = unit(c1 * 4, self.ks, self.layers[2], dt)(x, self._knn_idxs(pt3))
+        x, _, pt3 = edge_preserve_sampling(x2, pt2, self.pts_num[2], self.pk,
+                                           precomputed=geo["eps"][1])
+        x = unit(c1 * 4, self.ks, self.layers[2], dt)(x, geo["knn"][2])
         x3 = nn.relu(x)
-        x, _, pt4 = edge_preserve_sampling(x3, pt3, self.pts_num[3], self.pk)
-        x = unit(c1 * 8, self.ks, self.layers[3], dt)(x, self._knn_idxs(pt4))
+        x, _, pt4 = edge_preserve_sampling(x3, pt3, self.pts_num[3], self.pk,
+                                           precomputed=geo["eps"][2])
+        x = unit(c1 * 8, self.ks, self.layers[3], dt)(x, geo["knn"][3])
         x4 = nn.relu(x)
 
         g = nn.Dense(1024, dtype=dt)(x4).max(axis=1)  # (B, 1024)
@@ -197,13 +230,13 @@ class SASKNResEncoder(nn.Module):
 
         x = nn.relu(nn.Dense(c1 * 8, dtype=dt)(
             jnp.concatenate([g, x4], axis=-1)).astype(jnp.float32))
-        x = unpool(x, pt4, pt3)
+        x = unpool(x)
         x = nn.relu(nn.Dense(c1 * 4, dtype=dt)(
             jnp.concatenate([x, x3], axis=-1)).astype(jnp.float32))
-        x = unpool(x, pt3, pt2)
+        x = unpool(x)
         x = nn.relu(nn.Dense(c1 * 2, dtype=dt)(
             jnp.concatenate([x, x2], axis=-1)).astype(jnp.float32))
-        x = unpool(x, pt2, pt1)
+        x = unpool(x)
         x = nn.relu(nn.Dense(c1, dtype=dt)(
             jnp.concatenate([x, x1], axis=-1)))
         return nn.Dense(self.output_size, dtype=dt)(x).astype(jnp.float32)
@@ -286,11 +319,13 @@ class MSAPSKNDecoder(nn.Module):
         pts_num = (total_pts, total_pts // 2, total_pts // 4, total_pts // 8)
         enc_cls = nn.remat(SASKNResEncoder, static_argnums=(2,)) \
             if self.remat else SASKNResEncoder
+        # geometry outside the remat scope: saved, not recomputed
+        geo = saskn_geometry(points[..., :3], pts_num, self.knn_list, self.pk)
         dense_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256,
             layers=self.layers, pts_num=pts_num,
             compute_dtype=self.compute_dtype,
-        )(points, train)
+        )(points, train, geo)
 
         up_scale = int(np.ceil(self.num_fine / (self.num_coarse_raw + 2048)))
         if up_scale >= 2:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from houv_tpu.metrics import calc_cd
 from houv_tpu.models.pcn import PCNEncoderLabel
 from houv_tpu.models.voxelnet import Asymm3DSpconv
-from houv_tpu.models.vrcnet import SASKNResEncoder
+from houv_tpu.models.vrcnet import SASKNResEncoder, saskn_geometry
 from houv_tpu.ops.gather import gather_rows
 from houv_tpu.ops.sampling import furthest_point_sample
 
@@ -57,14 +57,18 @@ class KNNDecoder(nn.Module):
         # unit activations dominate HBM at larger batches
         enc_cls = nn.remat(SASKNResEncoder, static_argnums=(2,)) \
             if self.remat else SASKNResEncoder
+        pts_num = (
+            points.shape[1], points.shape[1] // 2,
+            points.shape[1] // 4, points.shape[1] // 8,
+        )
+        # coordinate-only geometry outside the remat scope: the Pallas
+        # kNN/FPS/three-nn results become saved residuals instead of being
+        # recomputed by the backward pass (saskn_geometry docstring)
+        geo = saskn_geometry(points, pts_num, self.knn_list, self.pk)
         fine_feat = enc_cls(
             ks=self.knn_list, pk=self.pk, output_size=256, layers=self.layers,
-            compute_dtype=self.compute_dtype,
-            pts_num=(
-                points.shape[1], points.shape[1] // 2,
-                points.shape[1] // 4, points.shape[1] // 8,
-            ),
-        )(points, train)
+            compute_dtype=self.compute_dtype, pts_num=pts_num,
+        )(points, train, geo)
 
         fine = nn.Dense(3)(jnp.tanh(nn.Dense(1024)(fine_feat)))
 
