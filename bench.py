@@ -142,10 +142,15 @@ def bench_vrcnet_knn():
     bsz = 16
     # champion-submission hyperparameters (cfgs/vrcnet_knn.yaml mirrors
     # reference completion/cfgs/vrcnt_knn.yaml: layers 1,1,1,1, knn 16)
+    # TPU champion settings (cfgs/vrcnet_knn.yaml): SA-SKN remat OFF (B=16
+    # fits since the match-conv rework; recomputing the SA stack in the
+    # backward was pure loss: 286 -> 267 ms/step) and bf16 compute with
+    # f32 params/losses (267 -> 250 ms/step; 50-step loss trajectory
+    # matches f32 to 4e-4 — BENCH_NOTES r3).
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
         feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
-        remat=True,
+        remat=False, compute_dtype="bfloat16",
     )
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (bsz, 2048, 3), jnp.float32) * 0.3

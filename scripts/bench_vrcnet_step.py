@@ -36,11 +36,12 @@ def main():
     conv_remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     compute_dtype = sys.argv[4] if len(sys.argv) > 4 else None
+    sa_remat = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
 
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
         feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
-        remat=True, voxel_conv_remat=conv_remat,
+        remat=sa_remat, voxel_conv_remat=conv_remat,
         compute_dtype=compute_dtype,
     )
     key = jax.random.PRNGKey(4)
@@ -88,7 +89,7 @@ def main():
         params, opt_state, loss = step(params, opt_state)
     _sync(loss)
     ms = (time.perf_counter() - t0) / n_steps * 1e3
-    print(f"B={bsz} conv_remat={conv_remat} "
+    print(f"B={bsz} conv_remat={conv_remat} sa_remat={sa_remat} "
           f"dtype={compute_dtype or 'f32'}: {ms:.0f} ms/step "
           f"= {bsz / (ms / 1e3):.1f} clouds/s (loss {_sync(loss):.4f})",
           flush=True)
