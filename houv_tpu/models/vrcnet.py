@@ -57,11 +57,21 @@ class SAModule(nn.Module):
         b, n, _ = x.shape
         identity = x
         h = nn.relu(x)
-        xn = get_edge_features(h, idx)  # (B, N, k, C)
+        # The projections are pointwise, so they commute with the neighbor
+        # gather: project FIRST, then gather BOTH projections with ONE
+        # gather of the concat — the (B, N, k, C) full-width edge tensor
+        # (reference vrcnet.py:21-68 convs over it) never materializes
+        # (rel+mid = C/16 + C/4 channels stream instead of C), the one-hot
+        # build is paid once (it dominates the TPU gather and is
+        # C-independent), and each Dense runs k x fewer MACs. Same params
+        # (creation order and kernel shapes unchanged), identical values.
         x1 = nn.Dense(self.rel_planes, dtype=self.dtype)(h)   # (B, N, rel)
-        x2 = nn.Dense(self.rel_planes, dtype=self.dtype)(xn).reshape(
+        h2 = nn.Dense(self.rel_planes, dtype=self.dtype)(h)
+        h3 = nn.Dense(self.mid_planes, dtype=self.dtype)(h)
+        x23 = get_edge_features(jnp.concatenate([h2, h3], axis=-1), idx)
+        x2 = x23[..., : self.rel_planes].reshape(
             b, n, self.k * self.rel_planes)
-        x3 = nn.Dense(self.mid_planes, dtype=self.dtype)(xn)  # (B, N, k, mid)
+        x3 = x23[..., self.rel_planes:]                       # (B, N, k, mid)
 
         w = jnp.concatenate([x1, x2], axis=-1)
         w = nn.relu(w)

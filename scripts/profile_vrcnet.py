@@ -32,10 +32,11 @@ def _sync(x) -> float:
 
 
 def build_step(bsz):
+    # champion settings (bench.py / cfgs/vrcnet_knn.yaml): remat off, bf16
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
         feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
-        remat=True,
+        remat=False, compute_dtype="bfloat16",
     )
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (bsz, 2048, 3), jnp.float32) * 0.3
