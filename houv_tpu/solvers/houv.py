@@ -112,6 +112,17 @@ class HOUVConfig:
     # post-kernel one-hot gathers overlap with other work. Kept as an
     # opt-in for re-measurement on other topologies.
     nn_select: bool = False
+    # Correspondence-refresh cadence (ours, not in the reference): recompute
+    # the O(N·M) nearest-neighbor matches every `nn_refresh` Adam steps and
+    # reuse the cached matched rows in between (block-coordinate descent:
+    # the match step IS piecewise-constant in (R, T), so the in-between
+    # gradients are exact gradients of the same majorizing objective —
+    # ICP-style). The NN pass + gathers are ~22 of the 24 ms step
+    # (BENCH_NOTES r3 trace), so refresh=R cuts step cost ~R×. 1 =
+    # reference semantics (refresh every step). Requires grad_mode='gather',
+    # objective='trunc', use_view_loss=False, select_percent=None, and
+    # steps (and any segment length) divisible by nn_refresh.
+    nn_refresh: int = 1
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -255,19 +266,16 @@ def _trunc_mean_sqrt(d, k, fast):
     return _safe_sqrt(_smallest_k(d, k)).mean(axis=-1)
 
 
-def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
-                         interpret=False, nn_select=False):
-    """One NN pass (stop-gradient matches) + scatter-free loss rebuild.
+def _pair_matches(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
+                  interpret=False, nn_select=False):
+    """One NN pass -> stop-gradient matched rows.
 
-    src (B, N, 3) raw, tgt (B, M, 3), src_t (B, K, N, 3) transformed
-    (differentiable), r/t the per-restart transform. With ``dim_mask``
-    (a (3,) 0/1 vector) both clouds are projected before matching —
-    the view-CD geometry (metrics/cd.py:loss_view).
-
-    Returns (d1 (B·K, M), d2 (B·K, N)) squared distances, differentiable
-    through (R, T) via einsum transposes only — NO scatter in the
-    backward (the r2 OOM at view/multi_percent settings came from these
-    terms routing through the chamfer custom-VJP scatter path).
+    src (B, N, 3) raw, tgt (B, M, 3) (already projected when the caller
+    uses a view mask), src_t (B, K, N, 3) transformed. Returns
+      tg    (B, K, N, 3) — matched tgt row per src point,
+      s_sel (B, K, M, 3) — matched RAW src row per tgt point,
+    both piecewise-constant in (R, T) (stop-gradient), so they can be
+    cached across Adam steps (HOUVConfig.nn_refresh).
 
     ``nn_select`` (opt-in; MEASURED NEGATIVE on v5e, see
     HOUVConfig.nn_select): ``nn_select_pallas`` emits the matched-neighbor
@@ -291,9 +299,6 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
         and kernel % _BATCH_BLOCK == 0
         and (use_pallas or interpret)
     )
-    if dim_mask is not None:
-        src_t = src_t * dim_mask
-        tgt = tgt * dim_mask
     flat_src_t = src_t.reshape(bsz * kernel, n, 3)
 
     if select_ok:
@@ -306,21 +311,13 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
         )
         tg = jax.lax.stop_gradient(c2).reshape(bsz, kernel, n, 3)
         src_t_sel = jax.lax.stop_gradient(c1).reshape(bsz, kernel, m, 3)
-        d2 = jnp.sum((src_t - tg) ** 2, axis=-1).reshape(bsz * kernel, n)
         r0 = jax.lax.stop_gradient(r)
         t0 = jax.lax.stop_gradient(t)
         s_sel = jnp.einsum(
             "bkmd,bkdc->bkmc", src_t_sel - t0[:, :, None, :], r0,
             precision=jax.lax.Precision.HIGHEST,
         )                                           # matched raw src rows
-        matched_t = jnp.einsum(
-            "bkmc,bkdc->bkmd", s_sel, r,
-            precision=jax.lax.Precision.HIGHEST,
-        ) + t[:, :, None, :]
-        d1 = jnp.sum(
-            (tgt[:, None] - matched_t) ** 2, axis=-1
-        ).reshape(bsz * kernel, m)
-        return d1, d2
+        return tg, s_sel
 
     # cd(gt=tgt, out=src_t) direction convention (metrics/cd.py): d1 is
     # per-tgt-point (nearest src point), d2 per-src-point (nearest tgt).
@@ -347,7 +344,17 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
     s_sel = jax.lax.stop_gradient(
         gather_rows(src, i1.reshape(bsz, kernel * m))
     ).reshape(bsz, kernel, m, 3)                    # matched raw src rows
+    return tg, s_sel
 
+
+def _dists_from_matches(tgt, src_t, tg, s_sel, r, t, dim_mask=None):
+    """Scatter-free loss rebuild from matched rows: (d1 (B·K, M),
+    d2 (B·K, N)) squared distances, differentiable through (R, T) via
+    einsum transposes only — NO scatter in the backward (the r2 OOM at
+    view/multi_percent settings came from these terms routing through the
+    chamfer custom-VJP scatter path)."""
+    bsz, kernel, n = src_t.shape[:3]
+    m = tgt.shape[1]
     # d2: differentiable through src_t only; matched tgt points constant.
     d2 = jnp.sum((src_t - tg) ** 2, axis=-1).reshape(bsz * kernel, n)
 
@@ -363,6 +370,21 @@ def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
         (tgt[:, None] - matched_t) ** 2, axis=-1
     ).reshape(bsz * kernel, m)
     return d1, d2
+
+
+def _gathered_pair_dists(src, tgt, src_t, r, t, use_pallas, dim_mask=None,
+                         interpret=False, nn_select=False):
+    """One NN pass (stop-gradient matches) + scatter-free loss rebuild.
+
+    With ``dim_mask`` (a (3,) 0/1 vector) both clouds are projected before
+    matching — the view-CD geometry (metrics/cd.py:loss_view)."""
+    if dim_mask is not None:
+        src_t = src_t * dim_mask
+        tgt = tgt * dim_mask
+    tg, s_sel = _pair_matches(src, tgt, src_t, r, t, use_pallas,
+                              dim_mask=dim_mask, interpret=interpret,
+                              nn_select=nn_select)
+    return _dists_from_matches(tgt, src_t, tg, s_sel, r, t, dim_mask)
 
 
 def _gathered_view_min(src, tgt, src_t, r, t, use_pallas, dim, fast):
@@ -480,6 +502,92 @@ def _objective(params, src, tgt, angle_base, cfg: HOUVConfig):
     return _objective_scatter(params, src, tgt, angle_base, cfg)
 
 
+def _check_refresh_supported(cfg: HOUVConfig):
+    if cfg.grad_mode != "gather" or cfg.objective != "trunc" \
+            or cfg.use_view_loss or cfg.select_percent is not None:
+        raise NotImplementedError(
+            "nn_refresh > 1 supports the canonical objective only "
+            "(grad_mode='gather', objective='trunc', use_view_loss=False, "
+            "select_percent=None)"
+        )
+
+
+def _objective_matches(params, src, tgt, angle_base, cfg: HOUVConfig):
+    """The match half of ``_objective_gather``: one NN pass at the current
+    (R, T) — cached rows for nn_refresh-step reuse."""
+    from houv_tpu.ops.chamfer import _use_pallas
+
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode, cfg.two_bracket)
+    src_t = _apply(src, r, t)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    return _pair_matches(src, tgt, src_t, r, t, use_pallas,
+                         nn_select=cfg.nn_select)
+
+
+def _objective_cached(params, matches, src, tgt, angle_base,
+                      cfg: HOUVConfig):
+    """``_objective_gather``'s loss rebuild against CACHED matches
+    (canonical trunc objective only — see ``_check_refresh_supported``)."""
+    tg, s_sel = matches
+    r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
+                         cfg.rotation_mode, cfg.two_bracket)
+    bsz, kernel = r.shape[:2]
+    n = src.shape[1]
+    src_t = _apply(src, r, t)
+    d1, d2 = _dists_from_matches(tgt, src_t, tg, s_sel, r, t)
+    k = int(n * cfg.percent)
+    cd_p = _trunc_mean_sqrt(d1, k, cfg.fast_trim)
+    cd_t = _trunc_mean_sqrt(d2, k, cfg.fast_trim)
+    min_1 = jnp.minimum(cd_p, cd_t)
+    loss = cfg.loss_weight * min_1
+    return loss.mean(), min_1.reshape(bsz, kernel)
+
+
+def _adam_loop(src, tgt, angle_base, cfg: HOUVConfig, opt, params,
+               opt_state, n_steps: int):
+    """``n_steps`` Adam steps over all (pair, restart) replicas. With
+    ``cfg.nn_refresh > 1`` the NN matches are recomputed once per refresh
+    block and the loss/gradients in between are rebuilt against the cached
+    matched rows (the matches are piecewise-constant in (R, T), so each
+    in-between gradient is the exact gradient of the same majorizing
+    objective — the NN pass + gathers are ~22 of the 24 ms step)."""
+    refresh = cfg.nn_refresh
+    if refresh <= 1:
+        grad_fn = jax.grad(
+            lambda p: _objective(p, src, tgt, angle_base, cfg)[0])
+
+        def body(_, state):
+            params, opt_state = state
+            grads = grad_fn(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        return jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
+
+    _check_refresh_supported(cfg)
+    if n_steps % refresh:
+        raise ValueError(
+            f"step count {n_steps} not divisible by nn_refresh {refresh}"
+        )
+    grad_fn = jax.grad(
+        lambda p, m: _objective_cached(p, m, src, tgt, angle_base, cfg)[0])
+
+    def body(_, state):
+        params, opt_state = state
+        matches = _objective_matches(params, src, tgt, angle_base, cfg)
+        for _ in range(refresh):
+            grads = grad_fn(params, matches)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return jax.lax.fori_loop(
+        0, n_steps // refresh, body, (params, opt_state))
+
+
 def _best_restart(min_1: Array, cfg: HOUVConfig):
     """(best_value (B,), best_index (B,)) over the restart axis.
 
@@ -510,18 +618,8 @@ def houv_pass(
     Returns (min_1 (B, K), R (B, K, 3, 3), T (B, K, 3)).
     """
     opt = optax.adam(cfg.lr)
-    grad_fn = jax.grad(lambda p: _objective(p, src, tgt, angle_base, cfg)[0])
-
-    def body(_, state):
-        params, opt_state = state
-        grads = grad_fn(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state
-
-    params, _ = jax.lax.fori_loop(
-        0, cfg.steps, body, (params0, opt.init(params0))
-    )
+    params, _ = _adam_loop(src, tgt, angle_base, cfg, opt, params0,
+                           opt.init(params0), cfg.steps)
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
                          cfg.rotation_mode, cfg.two_bracket)
@@ -625,16 +723,8 @@ def houv_pass_segment(src, tgt, params, opt_state, angle_base, cfg: HOUVConfig,
     dispatches (a single multi-minute XLA program can trip remote-runtime
     watchdogs; 100-step segments keep each dispatch ~10s)."""
     opt = optax.adam(cfg.lr)
-    grad_fn = jax.grad(lambda p: _objective(p, src, tgt, angle_base, cfg)[0])
-
-    def body(_, state):
-        params, opt_state = state
-        grads = grad_fn(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state
-
-    return jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
+    return _adam_loop(src, tgt, angle_base, cfg, opt, params, opt_state,
+                      n_steps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

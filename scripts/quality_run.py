@@ -8,9 +8,11 @@ from houv_tpu.solvers.houv import evaluate_solution
 # 128 pairs at up-to-90° rotations: exercises the retry machinery at the
 # canonical budget (BASELINE config 1 scale).
 N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+NN_REFRESH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 data = synthesize_registration_pairs(N_PAIRS, n_points=2048, max_angle_deg=90.0, seed=99)
 src = jnp.asarray(data['rotated_src']); tgt = jnp.asarray(data['rotated_tgt'])
-cfg = HOUVConfig(kernel=64, steps=500, angle_passes=4, use_pallas=True)
+cfg = HOUVConfig(kernel=64, steps=500, angle_passes=4, use_pallas=True,
+                 nn_refresh=NN_REFRESH)
 t0 = time.perf_counter()
 outs = []
 B = 32

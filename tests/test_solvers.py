@@ -414,3 +414,75 @@ def test_voxel_downsample_chunked_parity():
     np.testing.assert_allclose(np.asarray(a["transform"]),
                                np.asarray(b["transform"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_nn_refresh_cached_objective_exact_at_boundary(rng):
+    """At a refresh boundary the cached objective IS the live objective:
+    same value and same gradient when the matches were just computed at
+    the current params (nn_refresh correctness anchor)."""
+    import jax
+
+    from houv_tpu.solvers.houv import (
+        HOUVConfig, _objective, _objective_cached, _objective_matches,
+        init_params)
+
+    src, tgt, _ = _full_overlap_problem(rng, bsz=2, n=96)
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+    cfg = HOUVConfig(kernel=4, steps=8, use_pallas=False)
+    params = init_params(jax.random.PRNGKey(0), 2, cfg.kernel)
+
+    matches = _objective_matches(params, src, tgt, 0, cfg)
+    l_live, m_live = _objective(params, src, tgt, 0, cfg)
+    l_cached, m_cached = _objective_cached(params, matches, src, tgt, 0, cfg)
+    np.testing.assert_allclose(np.asarray(l_live), np.asarray(l_cached),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_live), np.asarray(m_cached),
+                               rtol=1e-6)
+
+    g_live = jax.grad(lambda p: _objective(p, src, tgt, 0, cfg)[0])(params)
+    g_cached = jax.grad(
+        lambda p: _objective_cached(p, matches, src, tgt, 0, cfg)[0]
+    )(params)
+    for k in g_live:
+        np.testing.assert_allclose(np.asarray(g_live[k]),
+                                   np.asarray(g_cached[k]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_nn_refresh_solves_like_refresh1(rng):
+    """nn_refresh=2 (lagged correspondences) still recovers the pose on the
+    full-overlap problem, with a final loss in the same regime."""
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=128)
+    base = HOUVConfig(kernel=16, steps=300, angle_passes=1,
+                      use_pallas=False)
+    fast = HOUVConfig(kernel=16, steps=300, angle_passes=1,
+                      use_pallas=False, nn_refresh=2)
+    out1 = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                      jax.random.PRNGKey(0), base)
+    out2 = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                      jax.random.PRNGKey(0), fast)
+    r1, _ = evaluate_solution(out1["transform"], jnp.asarray(pose))
+    r2, _ = evaluate_solution(out2["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(r2)) < 10.0, np.asarray(r2)
+    # same convergence regime (not bit-equal: correspondences lag 1 step)
+    assert float(jnp.mean(out2["rmse"])) < 2.0 * float(
+        jnp.mean(out1["rmse"])) + 1e-4
+
+
+def test_nn_refresh_guards():
+    """Unsupported objective combos and non-divisible budgets raise."""
+    import jax
+
+    from houv_tpu.solvers.houv import HOUVConfig, houv_pass, init_params
+
+    src = jnp.zeros((1, 32, 3))
+    tgt = jnp.zeros((1, 32, 3))
+    params = init_params(jax.random.PRNGKey(0), 1, 4)
+    bad_obj = HOUVConfig(kernel=4, steps=8, use_pallas=False,
+                         nn_refresh=2, use_view_loss=True)
+    with pytest.raises(NotImplementedError):
+        houv_pass(src, tgt, params, 0, bad_obj)
+    bad_steps = HOUVConfig(kernel=4, steps=9, use_pallas=False,
+                           nn_refresh=2)
+    with pytest.raises(ValueError):
+        houv_pass(src, tgt, params, 0, bad_steps)
