@@ -235,10 +235,13 @@ def bench_houv():
     emit("houv_parity_pairs_per_sec_per_chip", parity_pps,
          "pairs/sec/chip (nn_refresh=1, reference step semantics)",
          parity_pps / BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU)
-    # TPU champion: correspondences refreshed every 2 Adam steps — quality
-    # equal-or-better on the 16- and 128-pair fixtures (BENCH_NOTES r3)
+    # TPU champion: coarse-to-fine correspondence cadence — 400 steps at
+    # refresh=5 then a refresh=2 finishing phase. Quality statistically
+    # equal to refresh=1 on the 16- and 128-pair fixtures (BENCH_NOTES
+    # r3; ending coarse is what hurts — the final phase sets precision).
     cham_pps, cham_med = timed_solve(
-        HOUVConfig(kernel=64, steps=500, angle_passes=1, nn_refresh=2))
+        HOUVConfig(kernel=64, steps=500, angle_passes=1,
+                   nn_refresh_schedule=((400, 5), (100, 2))))
     rot_med = max(parity_med, cham_med)  # tripwire covers both paths
     emit("houv_rot_median_deg_fixture", rot_med,
          f"deg (16 synthetic pairs, <=45deg, 1 angle pass; "
@@ -247,7 +250,7 @@ def bench_houv():
     # flagship metric: printed last (the driver parses the final line)
     emit("houv_registration_pairs_per_sec_per_chip", cham_pps,
          "pairs/sec/chip (2048 pts, kernel=64, 500 Adam steps, "
-         "nn_refresh=2 champion)",
+         "coarse-to-fine nn_refresh 400@5+100@2 champion)",
          cham_pps / BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU)
 
 

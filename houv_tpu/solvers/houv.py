@@ -123,6 +123,16 @@ class HOUVConfig:
     # objective='trunc', use_view_loss=False, select_percent=None, and
     # steps (and any segment length) divisible by nn_refresh.
     nn_refresh: int = 1
+    # Coarse-to-fine cadence schedule (overrides nn_refresh when set): a
+    # tuple of (n_steps, refresh) phases summing to `steps`, e.g.
+    # ((400, 5), (100, 2)). Early steps move the params far per step, so
+    # stale matches cost nothing there; the FINAL phase sets the answer's
+    # precision and wants a fine cadence (ending coarse measured ~3x worse
+    # rot mean; coarse->fine measured equal-or-better than uniform
+    # refresh=2 at ~1.8x its speed — BENCH_NOTES r3). Same support
+    # restrictions as nn_refresh; each phase length must be divisible by
+    # its refresh (and by the segment chunk in the chunked driver).
+    nn_refresh_schedule: tuple | None = None
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -588,6 +598,20 @@ def _adam_loop(src, tgt, angle_base, cfg: HOUVConfig, opt, params,
         0, n_steps // refresh, body, (params, opt_state))
 
 
+def _refresh_phases(cfg: HOUVConfig) -> tuple:
+    """Resolve the (n_steps, refresh) phase list: the coarse-to-fine
+    schedule when set, else one uniform phase at cfg.nn_refresh."""
+    if cfg.nn_refresh_schedule is None:
+        return ((cfg.steps, cfg.nn_refresh),)
+    phases = tuple((int(n), int(r)) for n, r in cfg.nn_refresh_schedule)
+    total = sum(n for n, _ in phases)
+    if total != cfg.steps:
+        raise ValueError(
+            f"nn_refresh_schedule phases sum to {total}, steps={cfg.steps}"
+        )
+    return phases
+
+
 def _best_restart(min_1: Array, cfg: HOUVConfig):
     """(best_value (B,), best_index (B,)) over the restart axis.
 
@@ -618,8 +642,12 @@ def houv_pass(
     Returns (min_1 (B, K), R (B, K, 3, 3), T (B, K, 3)).
     """
     opt = optax.adam(cfg.lr)
-    params, _ = _adam_loop(src, tgt, angle_base, cfg, opt, params0,
-                           opt.init(params0), cfg.steps)
+    params, opt_state = params0, opt.init(params0)
+    for n_steps, refresh in _refresh_phases(cfg):
+        cfg_r = dataclasses.replace(
+            cfg, nn_refresh=refresh, nn_refresh_schedule=None)
+        params, opt_state = _adam_loop(
+            src, tgt, angle_base, cfg_r, opt, params, opt_state, n_steps)
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
                          cfg.rotation_mode, cfg.two_bracket)
@@ -721,7 +749,17 @@ def houv_pass_segment(src, tgt, params, opt_state, angle_base, cfg: HOUVConfig,
     """n_steps Adam steps of one angle-window pass, resumable: takes and
     returns (params, opt_state). Lets a long solve be split into bounded
     dispatches (a single multi-minute XLA program can trip remote-runtime
-    watchdogs; 100-step segments keep each dispatch ~10s)."""
+    watchdogs; 100-step segments keep each dispatch ~10s).
+
+    Note: segments have no global step position, so a coarse-to-fine
+    ``nn_refresh_schedule`` must be resolved by the DRIVER (e.g.
+    ``houv_solve_chunked`` iterates phases and passes per-phase cfgs)."""
+    if cfg.nn_refresh_schedule is not None:
+        raise ValueError(
+            "houv_pass_segment cannot place itself in a "
+            "nn_refresh_schedule — resolve phases in the driver and pass "
+            "per-phase cfgs (see houv_solve_chunked)"
+        )
     opt = optax.adam(cfg.lr)
     return _adam_loop(src, tgt, angle_base, cfg, opt, params, opt_state,
                       n_steps)
@@ -754,13 +792,16 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
     def run_pass(angle_base):
         params = params0
         opt_state = houv_opt_init(params, cfg)
-        done = 0
-        while done < cfg.steps:
-            n = min(step_chunk, cfg.steps - done)
-            params, opt_state = houv_pass_segment(
-                src, tgt, params, opt_state, angle_base, cfg, n
-            )
-            done += n
+        for n_steps, refresh in _refresh_phases(cfg):
+            cfg_r = dataclasses.replace(
+                cfg, nn_refresh=refresh, nn_refresh_schedule=None)
+            done = 0
+            while done < n_steps:
+                n = min(step_chunk, n_steps - done)
+                params, opt_state = houv_pass_segment(
+                    src, tgt, params, opt_state, angle_base, cfg_r, n
+                )
+                done += n
         return houv_finalize(src, tgt, params, angle_base, cfg)
 
     min_1, r, t = run_pass(0)

@@ -8,11 +8,18 @@ from houv_tpu.solvers.houv import evaluate_solution
 # 128 pairs at up-to-90° rotations: exercises the retry machinery at the
 # canonical budget (BASELINE config 1 scale).
 N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-NN_REFRESH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+# cadence: "2" (uniform nn_refresh) or a schedule "400:5,100:2"
+CADENCE = sys.argv[2] if len(sys.argv) > 2 else "1"
+if ":" in CADENCE:
+    sched = tuple(tuple(int(v) for v in p.split(":"))
+                  for p in CADENCE.split(","))
+    refresh_kw = dict(nn_refresh_schedule=sched)
+else:
+    refresh_kw = dict(nn_refresh=int(CADENCE))
 data = synthesize_registration_pairs(N_PAIRS, n_points=2048, max_angle_deg=90.0, seed=99)
 src = jnp.asarray(data['rotated_src']); tgt = jnp.asarray(data['rotated_tgt'])
 cfg = HOUVConfig(kernel=64, steps=500, angle_passes=4, use_pallas=True,
-                 nn_refresh=NN_REFRESH)
+                 **refresh_kw)
 t0 = time.perf_counter()
 outs = []
 B = 32

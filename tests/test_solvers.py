@@ -486,3 +486,39 @@ def test_nn_refresh_guards():
                            nn_refresh=2)
     with pytest.raises(ValueError):
         houv_pass(src, tgt, params, 0, bad_steps)
+
+
+def test_nn_refresh_schedule(rng):
+    """Coarse-to-fine schedule: solves the pose, matches the chunked
+    driver, and validates phase sums."""
+    import jax
+
+    from houv_tpu.solvers.houv import (
+        HOUVConfig, houv_solve, houv_solve_chunked)
+
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=128)
+    cfg = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule=((200, 4), (100, 2)))
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                     jax.random.PRNGKey(0), cfg)
+    r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(r_err)) < 10.0, np.asarray(r_err)
+
+    # chunked driver resolves the same phases -> same result. Compared at
+    # a tiny budget: long trajectories amplify last-ulp compilation
+    # differences until a different near-tied restart wins.
+    tiny = HOUVConfig(kernel=8, steps=24, angle_passes=1, use_pallas=False,
+                      nn_refresh_schedule=((16, 4), (8, 2)))
+    a = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                   jax.random.PRNGKey(0), tiny)
+    b = houv_solve_chunked(jnp.asarray(src), jnp.asarray(tgt),
+                           jax.random.PRNGKey(0), tiny, step_chunk=8)
+    np.testing.assert_allclose(np.asarray(a["transform"]),
+                               np.asarray(b["transform"]),
+                               rtol=1e-3, atol=1e-4)
+
+    bad = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule=((200, 4), (50, 2)))
+    with pytest.raises(ValueError):
+        houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                   jax.random.PRNGKey(0), bad)
