@@ -25,7 +25,8 @@ from houv_tpu.data import (
     synthesize_modelnet_set,
     synthesize_registration_pairs,
 )
-from houv_tpu.train.config import Config, load_config
+from houv_tpu.train.config import (Config, load_config,
+                                   parse_refresh_schedule)
 from houv_tpu.train.harness import CompletionTrainer, RegistrationTrainer
 from houv_tpu.train.submission import write_results_h5, write_submission
 from houv_tpu.utils.logging_utils import setup_logging
@@ -149,7 +150,8 @@ def houv_eval_main(cfg: Config, log) -> dict:
         retry_threshold=cfg.retry_threshold, angle_passes=cfg.angle_passes,
         retry_mode=cfg.retry_mode, use_view_loss=cfg.use_view_loss,
         reparam=cfg.houv_reparam, objective=cfg.houv_objective,
-        two_bracket=cfg.two_bracket,
+        two_bracket=cfg.two_bracket, nn_refresh=cfg.nn_refresh,
+        nn_refresh_schedule=parse_refresh_schedule(cfg.nn_refresh_schedule),
     )
     metric_names = ("RotE", "transE", "MSE", "RMSE", "recall", "GeoE")
     meters = {m: AverageValueMeter() for m in metric_names}
@@ -370,7 +372,9 @@ def test_main(argv=None):
             angle_passes=cfg.angle_passes,
             retry_mode=cfg.retry_mode, use_view_loss=cfg.use_view_loss,
             reparam=cfg.houv_reparam, objective=cfg.houv_objective,
-            two_bracket=cfg.two_bracket,
+            two_bracket=cfg.two_bracket, nn_refresh=cfg.nn_refresh,
+            nn_refresh_schedule=parse_refresh_schedule(
+                cfg.nn_refresh_schedule),
         )
         key = jax.random.PRNGKey(cfg.manual_seed or 2021)
         # Chunk pairs by batch_size: kernel-way restart expansion makes the

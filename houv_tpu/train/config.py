@@ -132,6 +132,11 @@ class Config:
     houv_reparam: str = "sine"       # 'sine' | 'sigmoid' | 'unconstrained' | 'v3'
     houv_objective: str = "trunc"    # 'trunc' | 'multi_percent'
     two_bracket: bool = False
+    # TPU correspondence-refresh cadence (solvers/houv.py): 1 = reference
+    # step semantics; "400:5,100:2" = the measured coarse-to-fine champion
+    # (BENCH_NOTES r3 — ~3.5x the parity throughput at equal gate quality)
+    nn_refresh: int = 1
+    nn_refresh_schedule: str | None = None  # "N:R,N:R,..." phases
 
     # parallel
     n_devices: int | None = None
@@ -169,6 +174,16 @@ class Config:
         cfg = cls(**kwargs)
         cfg.extras = extras
         return cfg
+
+
+def parse_refresh_schedule(s: str | None) -> tuple | None:
+    """'400:5,100:2' -> ((400, 5), (100, 2)) for
+    HOUVConfig.nn_refresh_schedule; None/'' -> None."""
+    if not s:
+        return None
+    return tuple(
+        tuple(int(v) for v in part.split(":")) for part in s.split(",")
+    )
 
 
 def load_config(path: str) -> Config:

@@ -42,6 +42,9 @@ def _shrink(cfg, tmp_path):
     cfg.kernel = 2
     cfg.num_epochs = 3
     cfg.angle_passes = 1
+    if cfg.nn_refresh_schedule:
+        # keep the schedule shape (multi-phase) at the shrunk budget
+        cfg.nn_refresh_schedule = "2:1,1:1"
     cfg.num_iters = 2
     # model sizes that must track num_points
     cfg.num_coarse = 16
