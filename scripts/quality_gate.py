@@ -44,6 +44,12 @@ VARIANTS = {
     "always_selfull": dict(retry_mode="always", select_percent=1.0),
     "view_always_selfull": dict(use_view_loss=True, retry_mode="always",
                                 select_percent=1.0),
+    # coarse-to-fine correspondence cadence (BENCH_NOTES r3): the bench
+    # champion schedule, alone and under threshold-free window search —
+    # 'always' quality at ~the old canonical cost
+    "fast": dict(nn_refresh_schedule=((400, 5), (100, 2))),
+    "always_fast": dict(retry_mode="always",
+                        nn_refresh_schedule=((400, 5), (100, 2))),
 }
 
 

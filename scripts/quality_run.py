@@ -1,5 +1,7 @@
 import sys; sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp, numpy as np, time
+from houv_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 from houv_tpu.data import synthesize_registration_pairs
 from houv_tpu.solvers import HOUVConfig
 from houv_tpu.solvers.houv import houv_solve_chunked as houv_solve
