@@ -124,14 +124,17 @@ class HOUVConfig:
     # steps (and any segment length) divisible by nn_refresh.
     nn_refresh: int = 1
     # Coarse-to-fine cadence schedule (overrides nn_refresh when set): a
-    # tuple of (n_steps, refresh) phases summing to `steps`, e.g.
-    # ((400, 5), (100, 2)). Early steps move the params far per step, so
-    # stale matches cost nothing there; the FINAL phase sets the answer's
-    # precision and wants a fine cadence (ending coarse measured ~3x worse
-    # rot mean; coarse->fine measured equal-or-better than uniform
-    # refresh=2 at ~1.8x its speed — BENCH_NOTES r3). Same support
-    # restrictions as nn_refresh; each phase length must be divisible by
-    # its refresh (and by the segment chunk in the chunked driver).
+    # tuple of (n_steps, refresh[, subsample]) phases summing to `steps`,
+    # e.g. ((400, 5), (100, 2)). Early steps move the params far per step,
+    # so stale matches cost nothing there; the FINAL phase sets the
+    # answer's precision and wants a fine cadence (ending coarse measured
+    # ~3x worse rot mean; coarse->fine measured equal-or-better than
+    # uniform refresh=2 at ~1.8x its speed — BENCH_NOTES r3). The optional
+    # third element runs the phase on FPS-downsampled clouds (N/subsample
+    # points; the NN pass is O(N·M), so subsample=2 cuts the match cost
+    # ~4x) — the FPS runs once per phase. Same support restrictions as
+    # nn_refresh; each phase length must be divisible by its refresh (and
+    # by the segment chunk in the chunked driver).
     nn_refresh_schedule: tuple | None = None
 
 
@@ -599,17 +602,46 @@ def _adam_loop(src, tgt, angle_base, cfg: HOUVConfig, opt, params,
 
 
 def _refresh_phases(cfg: HOUVConfig) -> tuple:
-    """Resolve the (n_steps, refresh) phase list: the coarse-to-fine
-    schedule when set, else one uniform phase at cfg.nn_refresh."""
+    """Resolve the (n_steps, refresh, subsample) phase list: the
+    coarse-to-fine schedule when set, else one uniform full-resolution
+    phase at cfg.nn_refresh."""
     if cfg.nn_refresh_schedule is None:
-        return ((cfg.steps, cfg.nn_refresh),)
-    phases = tuple((int(n), int(r)) for n, r in cfg.nn_refresh_schedule)
-    total = sum(n for n, _ in phases)
+        return ((cfg.steps, cfg.nn_refresh, 1),)
+    phases = tuple(
+        (int(p[0]), int(p[1]), int(p[2]) if len(p) > 2 else 1)
+        for p in cfg.nn_refresh_schedule
+    )
+    total = sum(n for n, _, _ in phases)
     if total != cfg.steps:
         raise ValueError(
             f"nn_refresh_schedule phases sum to {total}, steps={cfg.steps}"
         )
+    if phases[-1][2] != 1:
+        raise ValueError(
+            "the final schedule phase must run at full resolution "
+            "(subsample=1) — it sets the answer's precision"
+        )
     return phases
+
+
+def _phase_clouds(src: Array, tgt: Array, sub: int):
+    """FPS-downsample both clouds by `sub` for a coarse schedule phase
+    (runs once per phase — amortized over its hundreds of Adam steps)."""
+    if sub <= 1:
+        return src, tgt
+    from houv_tpu.ops.sampling import furthest_point_sample
+
+    def reduce(cloud):
+        idx = furthest_point_sample(cloud, cloud.shape[1] // sub)
+        return jnp.take_along_axis(cloud, idx[..., None], axis=1)
+
+    return reduce(src), reduce(tgt)
+
+
+@functools.partial(jax.jit, static_argnames=("sub",))
+def _phase_clouds_jit(src: Array, tgt: Array, sub: int):
+    """Jitted ``_phase_clouds`` for host-driven (chunked) phase loops."""
+    return _phase_clouds(src, tgt, sub)
 
 
 def _best_restart(min_1: Array, cfg: HOUVConfig):
@@ -643,11 +675,13 @@ def houv_pass(
     """
     opt = optax.adam(cfg.lr)
     params, opt_state = params0, opt.init(params0)
-    for n_steps, refresh in _refresh_phases(cfg):
+    for n_steps, refresh, sub in _refresh_phases(cfg):
         cfg_r = dataclasses.replace(
             cfg, nn_refresh=refresh, nn_refresh_schedule=None)
+        src_p, tgt_p = _phase_clouds(src, tgt, sub)
         params, opt_state = _adam_loop(
-            src, tgt, angle_base, cfg_r, opt, params, opt_state, n_steps)
+            src_p, tgt_p, angle_base, cfg_r, opt, params, opt_state,
+            n_steps)
     _, min_1 = _objective(params, src, tgt, angle_base, cfg)
     r, t = reparametrize(params, angle_base, cfg.tran_mode, cfg.reparam,
                          cfg.rotation_mode, cfg.two_bracket)
@@ -792,14 +826,15 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
     def run_pass(angle_base):
         params = params0
         opt_state = houv_opt_init(params, cfg)
-        for n_steps, refresh in _refresh_phases(cfg):
+        for n_steps, refresh, sub in _refresh_phases(cfg):
             cfg_r = dataclasses.replace(
                 cfg, nn_refresh=refresh, nn_refresh_schedule=None)
+            src_p, tgt_p = _phase_clouds_jit(src, tgt, sub)
             done = 0
             while done < n_steps:
                 n = min(step_chunk, n_steps - done)
                 params, opt_state = houv_pass_segment(
-                    src, tgt, params, opt_state, angle_base, cfg_r, n
+                    src_p, tgt_p, params, opt_state, angle_base, cfg_r, n
                 )
                 done += n
         return houv_finalize(src, tgt, params, angle_base, cfg)

@@ -522,3 +522,25 @@ def test_nn_refresh_schedule(rng):
     with pytest.raises(ValueError):
         houv_solve(jnp.asarray(src), jnp.asarray(tgt),
                    jax.random.PRNGKey(0), bad)
+
+
+def test_nn_refresh_schedule_multires(rng):
+    """Coarse phases may run on FPS-downsampled clouds; the final phase
+    must be full resolution."""
+    import jax
+
+    from houv_tpu.solvers.houv import HOUVConfig, houv_solve
+
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=128)
+    cfg = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule=((200, 4, 2), (100, 2)))
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                     jax.random.PRNGKey(0), cfg)
+    r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(r_err)) < 10.0, np.asarray(r_err)
+
+    bad = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule=((200, 4), (100, 2, 2)))
+    with pytest.raises(ValueError):
+        houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                   jax.random.PRNGKey(0), bad)
