@@ -135,10 +135,14 @@ def _fps_xla(points: Array, k: int) -> Array:
         idxs = idxs.at[:, i].set(nxt)
         return min_d, idxs, nxt
 
+    # Derive the carry inits from `points` so they inherit its varying
+    # mesh axes — constant inits break the fori_loop carry-type match
+    # when this runs inside shard_map (vma mismatch).
+    zero_b = (points[:, 0, 0] * 0).astype(jnp.int32)  # (B,) varying zeros
     init = (
-        jnp.full((bsz, n), jnp.float32(1e10)),
-        jnp.zeros((bsz, k), jnp.int32),
-        jnp.zeros((bsz,), jnp.int32),
+        points[:, :, 0] * 0 + jnp.float32(1e10),
+        jnp.zeros((bsz, k), jnp.int32) + zero_b[:, None],
+        zero_b,
     )
     _, idxs, _ = jax.lax.fori_loop(1, k, body, init)
     return idxs
@@ -170,10 +174,11 @@ def furthest_point_sample_with_dist(dist: Array, k: int) -> Array:
         idxs = idxs.at[:, i].set(nxt)
         return min_d, idxs, nxt
 
+    zero_b = (dist[:, 0, 0] * 0).astype(jnp.int32)  # shard_map-safe inits
     init = (
-        jnp.full((bsz, n), jnp.float32(1e10)),
-        jnp.zeros((bsz, k), jnp.int32),
-        jnp.zeros((bsz,), jnp.int32),
+        dist[:, 0, :] * 0 + jnp.float32(1e10),
+        jnp.zeros((bsz, k), jnp.int32) + zero_b[:, None],
+        zero_b,
     )
     _, idxs, _ = jax.lax.fori_loop(1, k, body, init)
     return idxs

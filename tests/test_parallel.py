@@ -38,6 +38,22 @@ def test_sharded_solve_runs_and_matches_quality():
     assert float(jnp.mean(r_sh)) < float(jnp.mean(r_si)) + 20.0
 
 
+def test_sharded_solve_multires_schedule():
+    # Regression: the multi-resolution schedule FPS-downsamples inside the
+    # shard_map body; _fps_xla's fori_loop carry inits must inherit the
+    # mesh-varying axes (constant inits fail the carry-type match).
+    mesh = make_mesh()
+    data = synthesize_registration_pairs(8, n_points=96, max_angle_deg=40.0, seed=12)
+    src = jnp.asarray(data["rotated_src"])
+    tgt = jnp.asarray(data["rotated_tgt"])
+    cfg = HOUVConfig(kernel=8, steps=120, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule=((80, 4, 2), (40, 2)))
+    out = sharded_houv_solve(src, tgt, jax.random.PRNGKey(0), mesh, cfg)
+    assert out["transform"].shape == (8, 4, 4)
+    r_sh, _ = evaluate_solution(out["transform"], jnp.asarray(data["transforms"]))
+    assert bool(jnp.all(jnp.isfinite(r_sh)))
+
+
 def test_sharded_solve_rejects_indivisible_batch():
     mesh = make_mesh()
     src = jnp.zeros((6, 32, 3))
