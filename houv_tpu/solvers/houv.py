@@ -621,6 +621,12 @@ def _refresh_phases(cfg: HOUVConfig) -> tuple:
             "the final schedule phase must run at full resolution "
             "(subsample=1) — it sets the answer's precision"
         )
+    for n, r, _ in phases:
+        if r > 1 and n % r:
+            raise ValueError(
+                f"schedule phase length {n} not divisible by its "
+                f"nn_refresh {r}"
+            )
     return phases
 
 
@@ -832,7 +838,14 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
             src_p, tgt_p = _phase_clouds_jit(src, tgt, sub)
             done = 0
             while done < n_steps:
+                # segments must respect the phase cadence: each dispatch
+                # runs a whole number of refresh blocks (remaining is
+                # always a multiple of refresh — phase lengths are
+                # validated divisible in _refresh_phases)
                 n = min(step_chunk, n_steps - done)
+                n -= n % refresh
+                if n == 0:
+                    n = min(refresh, n_steps - done)
                 params, opt_state = houv_pass_segment(
                     src_p, tgt_p, params, opt_state, angle_base, cfg_r, n
                 )

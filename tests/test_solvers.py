@@ -523,6 +523,22 @@ def test_nn_refresh_schedule(rng):
         houv_solve(jnp.asarray(src), jnp.asarray(tgt),
                    jax.random.PRNGKey(0), bad)
 
+    # phase length not divisible by its refresh: clear error at resolve
+    bad2 = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                      nn_refresh_schedule=((150, 4), (150, 2)))
+    with pytest.raises(ValueError, match="divisible"):
+        houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                   jax.random.PRNGKey(0), bad2)
+
+    # chunked driver clamps segments to whole refresh blocks even when
+    # step_chunk is not a multiple of the phase refresh (chip-probe
+    # regression: phase (16,4) with step_chunk=6 used to raise)
+    c = houv_solve_chunked(jnp.asarray(src), jnp.asarray(tgt),
+                           jax.random.PRNGKey(0), tiny, step_chunk=6)
+    np.testing.assert_allclose(np.asarray(a["transform"]),
+                               np.asarray(c["transform"]),
+                               rtol=1e-3, atol=1e-4)
+
 
 def test_nn_refresh_schedule_multires(rng):
     """Coarse phases may run on FPS-downsampled clouds; the final phase
