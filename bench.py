@@ -236,14 +236,17 @@ def bench_houv():
          "pairs/sec/chip (nn_refresh=1, reference step semantics)",
          parity_pps / BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU)
     # TPU champion: coarse-to-fine correspondence cadence + resolution —
-    # 400 steps at refresh=5 on FPS-half-resolution clouds, then a
-    # refresh=2 full-resolution finishing phase. 128-pair ≤90° gate:
-    # median 7.82° / recall<10° 53.9% vs refresh=1's 8.99° / 52.3%
-    # (mean within noise) — statistically equal or better (BENCH_NOTES
-    # r3; ending coarse is what hurts — the final phase sets precision).
+    # 300 steps at refresh=5 on FPS-quarter-resolution clouds, 150 at
+    # refresh=5 on half resolution, then a refresh=2 full-resolution
+    # finishing phase. 128-pair ≤90° gate:
+    # median 7.67° / recall<10° 53.9% — equal or better than the 2-phase
+    # N/2 schedule (7.82°) and refresh=1 (8.99° / 52.3%) on every stat
+    # (BENCH_NOTES r3; ending coarse is what hurts — the final phase
+    # sets precision).
     cham_pps, cham_med = timed_solve(
         HOUVConfig(kernel=64, steps=500, angle_passes=1,
-                   nn_refresh_schedule=((400, 5, 2), (100, 2))))
+                   nn_refresh_schedule=((300, 5, 4), (150, 5, 2),
+                                        (50, 2))))
     rot_med = max(parity_med, cham_med)  # tripwire covers both paths
     emit("houv_rot_median_deg_fixture", rot_med,
          f"deg (16 synthetic pairs, <=45deg, 1 angle pass; "
@@ -252,7 +255,7 @@ def bench_houv():
     # flagship metric: printed last (the driver parses the final line)
     emit("houv_registration_pairs_per_sec_per_chip", cham_pps,
          "pairs/sec/chip (2048 pts, kernel=64, 500 Adam steps, "
-         "coarse-to-fine nn_refresh 400@5@N/2+100@2 champion)",
+         "coarse-to-fine nn_refresh 300@5@N/4+150@5@N/2+50@2 champion)",
          cham_pps / BASELINE_HOUV_PAIRS_PER_SEC_PER_GPU)
 
 
