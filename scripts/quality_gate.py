@@ -47,9 +47,10 @@ VARIANTS = {
     # coarse-to-fine correspondence cadence (BENCH_NOTES r3): the bench
     # champion schedule, alone and under threshold-free window search —
     # 'always' quality at ~the old canonical cost
-    "fast": dict(nn_refresh_schedule=((400, 5), (100, 2))),
+    "fast": dict(nn_refresh_schedule=((300, 5, 4), (150, 5, 2), (50, 2))),
     "always_fast": dict(retry_mode="always",
-                        nn_refresh_schedule=((400, 5), (100, 2))),
+                        nn_refresh_schedule=((300, 5, 4), (150, 5, 2),
+                                             (50, 2))),
 }
 
 
