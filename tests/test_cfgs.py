@@ -38,6 +38,7 @@ def _shrink(cfg, tmp_path):
     cfg.num_points = 64
     cfg.nepoch = 1
     cfg.work_dir = str(tmp_path)
+    cfg.synthetic_size = 8  # cfgs may ask for reference-scale splits
     # solver budgets
     cfg.kernel = 2
     cfg.num_epochs = 3

@@ -85,6 +85,17 @@ def test_config_yaml_roundtrip(tmp_path):
     assert cfg.extras["unknown_key"] == 42
 
 
+def test_parse_refresh_schedule():
+    from houv_tpu.train.config import parse_refresh_schedule
+
+    assert parse_refresh_schedule(None) is None
+    assert parse_refresh_schedule("") is None
+    assert parse_refresh_schedule("400:5,100:2") == ((400, 5), (100, 2))
+    # 3-element phases carry the FPS subsample factor (champion schedule)
+    assert parse_refresh_schedule("300:5:4,150:5:2,50:2") == (
+        (300, 5, 4), (150, 5, 2), (50, 2))
+
+
 @pytest.mark.slow
 def test_completion_training_reduces_loss(tmp_path):
     cfg = _cp_cfg(tmp_path)
