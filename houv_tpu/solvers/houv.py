@@ -134,8 +134,10 @@ class HOUVConfig:
     # points; the NN pass is O(N·M), so subsample=2 cuts the match cost
     # ~4x) — the FPS runs once per phase. Same support restrictions as
     # nn_refresh; each phase length must be divisible by its refresh (and
-    # by the segment chunk in the chunked driver).
-    nn_refresh_schedule: tuple | None = None
+    # by the segment chunk in the chunked driver). The string "auto"
+    # scales the measured champion split (300:5:4,150:5:2,50:2 of 500 —
+    # BENCH_NOTES r3) to any step budget via auto_refresh_schedule().
+    nn_refresh_schedule: tuple | str | None = None
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -601,12 +603,32 @@ def _adam_loop(src, tgt, angle_base, cfg: HOUVConfig, opt, params,
         0, n_steps // refresh, body, (params, opt_state))
 
 
+def auto_refresh_schedule(steps: int) -> tuple:
+    """Scale the measured champion 3-phase split (60% at refresh 5 on N/4
+    clouds, 30% at refresh 5 on N/2, final 10% full-resolution at
+    refresh 2; BENCH_NOTES r3) to an arbitrary step budget. Tiny budgets
+    fall back to one full-resolution phase at reference semantics."""
+    if steps < 50:
+        return ((steps, 1),)
+    p1 = 5 * int(0.6 * steps / 5)
+    p2 = 5 * int(0.3 * steps / 5)
+    p3 = steps - p1 - p2
+    # the final phase sets the answer's precision: refresh 2 when the
+    # remainder allows, else exact per-step matches
+    r3 = 2 if p3 % 2 == 0 else 1
+    return ((p1, 5, 4), (p2, 5, 2), (p3, r3))
+
+
 def _refresh_phases(cfg: HOUVConfig) -> tuple:
     """Resolve the (n_steps, refresh, subsample) phase list: the
-    coarse-to-fine schedule when set, else one uniform full-resolution
-    phase at cfg.nn_refresh."""
+    coarse-to-fine schedule when set ("auto" = auto_refresh_schedule),
+    else one uniform full-resolution phase at cfg.nn_refresh."""
     if cfg.nn_refresh_schedule is None:
         return ((cfg.steps, cfg.nn_refresh, 1),)
+    if cfg.nn_refresh_schedule == "auto":
+        sched = auto_refresh_schedule(cfg.steps)
+        return _refresh_phases(
+            dataclasses.replace(cfg, nn_refresh_schedule=sched))
     phases = tuple(
         (int(p[0]), int(p[1]), int(p[2]) if len(p) > 2 else 1)
         for p in cfg.nn_refresh_schedule

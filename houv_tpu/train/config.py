@@ -136,7 +136,7 @@ class Config:
     # step semantics; "400:5,100:2" = the measured coarse-to-fine champion
     # (BENCH_NOTES r3 — ~3.5x the parity throughput at equal gate quality)
     nn_refresh: int = 1
-    nn_refresh_schedule: str | None = None  # "N:R,N:R,..." phases
+    nn_refresh_schedule: str | None = None  # "N:R[:S],..." phases | "auto"
 
     # parallel
     n_devices: int | None = None
@@ -176,11 +176,14 @@ class Config:
         return cfg
 
 
-def parse_refresh_schedule(s: str | None) -> tuple | None:
+def parse_refresh_schedule(s: str | None) -> tuple | str | None:
     """'400:5,100:2' -> ((400, 5), (100, 2)) for
-    HOUVConfig.nn_refresh_schedule; None/'' -> None."""
+    HOUVConfig.nn_refresh_schedule; 'auto' passes through (resolved
+    against the step budget by auto_refresh_schedule); None/'' -> None."""
     if not s:
         return None
+    if s == "auto":
+        return s
     return tuple(
         tuple(int(v) for v in part.split(":")) for part in s.split(",")
     )

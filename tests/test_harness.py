@@ -90,6 +90,7 @@ def test_parse_refresh_schedule():
 
     assert parse_refresh_schedule(None) is None
     assert parse_refresh_schedule("") is None
+    assert parse_refresh_schedule("auto") == "auto"
     assert parse_refresh_schedule("400:5,100:2") == ((400, 5), (100, 2))
     # 3-element phases carry the FPS subsample factor (champion schedule)
     assert parse_refresh_schedule("300:5:4,150:5:2,50:2") == (

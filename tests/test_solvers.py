@@ -540,6 +540,34 @@ def test_nn_refresh_schedule(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_auto_refresh_schedule(rng):
+    """'auto' scales the champion 3-phase split to any step budget."""
+    import jax
+
+    from houv_tpu.solvers.houv import (
+        HOUVConfig, _refresh_phases, auto_refresh_schedule, houv_solve)
+
+    # champion budget reproduces the promoted schedule exactly
+    assert auto_refresh_schedule(500) == ((300, 5, 4), (150, 5, 2), (50, 2))
+    # arbitrary budgets resolve to valid phases (sum + divisibility +
+    # final full resolution), including odd remainders
+    for steps in (50, 52, 123, 250, 500, 1000):
+        cfg = HOUVConfig(steps=steps, nn_refresh_schedule="auto")
+        phases = _refresh_phases(cfg)
+        assert sum(p[0] for p in phases) == steps
+        assert phases[-1][2] == 1 if len(phases[-1]) > 2 else True
+    # tiny budgets fall back to reference semantics
+    assert auto_refresh_schedule(24) == ((24, 1),)
+
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=128)
+    cfg = HOUVConfig(kernel=16, steps=300, angle_passes=1, use_pallas=False,
+                     nn_refresh_schedule="auto")
+    out = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                     jax.random.PRNGKey(0), cfg)
+    r_err, _ = evaluate_solution(out["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(r_err)) < 10.0, np.asarray(r_err)
+
+
 def test_nn_refresh_schedule_multires(rng):
     """Coarse phases may run on FPS-downsampled clouds; the final phase
     must be full resolution."""
