@@ -150,6 +150,11 @@ def sharded_houv_solve_2d(
         raise NotImplementedError(
             "two_bracket splits the restart axis itself — use the 1-D mesh"
         )
+    if cfg.window_select != "loss" and n_restart > 1:
+        raise NotImplementedError(
+            "window_select='consensus' counts agreement across the FULL "
+            "restart axis — use the 1-D mesh (pairs-only sharding)"
+        )
     local_cfg = dataclasses_replace_kernel(cfg, cfg.kernel // n_restart)
 
     def local_solve(src_l, tgt_l, key_l):

@@ -138,6 +138,23 @@ class HOUVConfig:
     # scales the measured champion split (300:5:4,150:5:2,50:2 of 500 —
     # BENCH_NOTES r3) to any step budget via auto_refresh_schedule().
     nn_refresh_schedule: tuple | str | None = None
+    # Angle-window selection rule (ours, not in the reference). 'loss':
+    # keep-if-better by the truncated CD — reference semantics
+    # (train_utils.py:501-513). 'consensus': restart-consensus rescoring
+    # for symmetry ambiguity — plane-symmetric objects admit a wrong-window
+    # optimum whose truncated CD ties the true one (loss-based rescoring
+    # at other truncations measured negative, BENCH_NOTES r3 variant
+    # matrix), but the TRUE optimum usually sits in a larger basin of
+    # attraction, so more random restarts converge onto it. Each window
+    # candidate carries agreement = #restarts whose loss is within
+    # consensus_loss_ratio of the window best AND whose rotation is within
+    # consensus_angle degrees (geodesic) of the window-best rotation;
+    # among windows whose best loss is within consensus_window_ratio of
+    # the global best, the most-agreed-upon wins (loss breaks ties).
+    window_select: str = "loss"
+    consensus_angle: float = 15.0
+    consensus_loss_ratio: float = 1.3
+    consensus_window_ratio: float = 1.5
 
 
 def init_params(key: Array, batch: int, kernel: int, lattice_init: bool = True,
@@ -690,6 +707,51 @@ def _best_restart(min_1: Array, cfg: HOUVConfig):
     return jnp.where(use0, v0, v1), jnp.where(use0, i0, i1)
 
 
+def _restart_agreement(min_1: Array, r: Array, best: Array, idx: Array,
+                       cfg: HOUVConfig) -> Array:
+    """#restarts that converged onto the window-best optimum: loss within
+    ``consensus_loss_ratio`` of the best AND rotation within
+    ``consensus_angle`` degrees (geodesic) of the best restart's.
+
+    min_1 (B, K), r (B, K, 3, 3), best/idx (B,) from ``_best_restart``.
+    Returns (B,) float32 counts (>= 1: the best restart agrees with
+    itself). O(B·K) — negligible next to the solve."""
+    r_best = jnp.take_along_axis(
+        r, idx[:, None, None, None], axis=1
+    )[:, 0]                                          # (B, 3, 3)
+    tr = jnp.einsum("bkij,bij->bk", r, r_best)       # trace(R_k R_bestᵀ)
+    cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cos))               # (B, K)
+    near_opt = min_1 <= best[:, None] * cfg.consensus_loss_ratio + 1e-4
+    agree = jnp.logical_and(ang < cfg.consensus_angle, near_opt)
+    return jnp.sum(agree, axis=1).astype(jnp.float32)
+
+
+def _consensus_merge(cand_loss: Array, cand_agree: Array,
+                     cfg: HOUVConfig) -> Array:
+    """Pick the angle window per pair: among windows whose best loss is
+    within ``consensus_window_ratio`` of the global best (+ small absolute
+    slack for near-zero CDs), maximum agreement wins; the loss breaks
+    agreement ties. cand_loss/cand_agree (B, P); returns (B,) indices."""
+    gbest = jnp.min(cand_loss, axis=1, keepdims=True)
+    valid = cand_loss <= gbest * cfg.consensus_window_ratio + 1e-4
+    # agreement counts are integers >= 1 apart; the loss tie-break term is
+    # clipped to (-0.5, 0] so it can only order windows of EQUAL agreement
+    tie = jnp.clip(1.0 - cand_loss / (gbest + 1e-9), -1.0, 0.0) * 0.49
+    score = jnp.where(valid, cand_agree + tie, -jnp.inf)
+    return jnp.argmax(score, axis=1)
+
+
+def _window_candidate(min_1: Array, r: Array, t: Array, cfg: HOUVConfig):
+    """One angle window's per-pair candidate for the consensus merge:
+    (loss (B,), agree (B,), R (B, 3, 3), T (B, 3))."""
+    best, idx = _best_restart(min_1, cfg)
+    agree = _restart_agreement(min_1, r, best, idx, cfg)
+    r_b = jnp.take_along_axis(r, idx[:, None, None, None], axis=1)[:, 0]
+    t_b = jnp.take_along_axis(t, idx[:, None, None], axis=1)[:, 0]
+    return best, agree, r_b, t_b
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def houv_pass(
     src: Array, tgt: Array, params0, angle_base: Array | int, cfg: HOUVConfig
@@ -761,6 +823,10 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     src, tgt = voxel_downsample_clouds(src, tgt, cfg)
     params0 = init_params(key, src.shape[0], cfg.kernel, cfg.lattice_init,
                          cfg.two_bracket)
+    if cfg.window_select == "consensus":
+        return _houv_solve_consensus(src, tgt, params0, cfg)
+    if cfg.window_select != "loss":
+        raise ValueError(f"unknown window_select {cfg.window_select!r}")
 
     min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
     best, _ = _best_restart(min_1, cfg)  # (B,)
@@ -801,6 +867,78 @@ def houv_solve(src: Array, tgt: Array, key: Array, cfg: HOUVConfig = HOUVConfig(
     return {
         "transform": rt_to_transformation(r_best, t_best),
         "rmse": best,
+        "n_retry": n_retry,
+    }
+
+
+def _houv_solve_consensus(src: Array, tgt: Array, params0,
+                          cfg: HOUVConfig):
+    """``houv_solve`` with ``window_select='consensus'``: every angle
+    window contributes a per-pair candidate (best restart's loss, R, T,
+    and its restart-agreement count); the final window choice is by
+    ``_consensus_merge`` instead of lowest-loss-wins. In threshold retry
+    mode, windows 1..P-1 are still skipped wholesale under ``lax.cond``
+    when no pair exceeds the threshold, and non-retried pairs keep only
+    their window-0 candidate (reference retry semantics,
+    train_utils.py:493-513)."""
+    bsz = src.shape[0]
+    min_1, r, t = houv_pass(src, tgt, params0, 0, cfg)
+    loss0, agree0, r0, t0 = _window_candidate(min_1, r, t, cfg)
+    if cfg.retry_mode == "always":
+        need_retry = jnp.ones_like(loss0, dtype=bool)
+    else:
+        need_retry = loss0 > cfg.retry_threshold
+    n_retry = jnp.sum(need_retry)
+
+    p = cfg.angle_passes
+    cand_loss = jnp.full((bsz, p), jnp.inf).at[:, 0].set(loss0)
+    cand_agree = jnp.zeros((bsz, p)).at[:, 0].set(agree0)
+    cand_r = jnp.zeros((bsz, p, 3, 3)).at[:, 0].set(r0)
+    cand_t = jnp.zeros((bsz, p, 3)).at[:, 0].set(t0)
+
+    def retry_pass(carry, angle_base):
+        cand_loss, cand_agree, cand_r, cand_t = carry
+
+        def run(_):
+            m2, r2, t2 = houv_pass(src, tgt, params0, angle_base, cfg)
+            loss_b, agree_b, r_b, t_b = _window_candidate(m2, r2, t2, cfg)
+            # non-retried pairs never see this window (reference ragged
+            # retry list); inf loss keeps the slot out of the merge
+            loss_b = jnp.where(need_retry, loss_b, jnp.inf)
+            return loss_b, agree_b, r_b, t_b
+
+        # the skip branch derives its outputs from the window-0 candidate
+        # (loss0 is a finite truncated CD) so both branches carry the same
+        # shard_map varying-axis types (fresh constants would be unvarying)
+        loss_b, agree_b, r_b, t_b = jax.lax.cond(
+            jnp.any(need_retry),
+            run,
+            lambda _: (loss0 * 0.0 + jnp.inf, agree0 * 0.0,
+                       r0 * 0.0, t0 * 0.0),
+            None,
+        )
+        slot = angle_base.astype(jnp.int32)
+        cand_loss = cand_loss.at[:, slot].set(loss_b)
+        cand_agree = cand_agree.at[:, slot].set(agree_b)
+        cand_r = cand_r.at[:, slot].set(r_b)
+        cand_t = cand_t.at[:, slot].set(t_b)
+        return (cand_loss, cand_agree, cand_r, cand_t), None
+
+    if cfg.angle_passes > 1:
+        bases = jnp.arange(1, cfg.angle_passes, dtype=jnp.float32)
+        (cand_loss, cand_agree, cand_r, cand_t), _ = jax.lax.scan(
+            retry_pass, (cand_loss, cand_agree, cand_r, cand_t), bases
+        )
+
+    widx = _consensus_merge(cand_loss, cand_agree, cfg)  # (B,)
+    r_best = jnp.take_along_axis(
+        cand_r, widx[:, None, None, None], axis=1
+    )[:, 0]
+    t_best = jnp.take_along_axis(cand_t, widx[:, None, None], axis=1)[:, 0]
+    rmse = jnp.take_along_axis(cand_loss, widx[:, None], axis=1)[:, 0]
+    return {
+        "transform": rt_to_transformation(r_best, t_best),
+        "rmse": rmse,
         "n_retry": n_retry,
     }
 
@@ -875,6 +1013,37 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
         return houv_finalize(src, tgt, params, angle_base, cfg)
 
     min_1, r, t = run_pass(0)
+    if cfg.window_select == "consensus":
+        loss0, agree0, r0, t0 = _window_candidate(min_1, r, t, cfg)
+        need_retry = (jnp.ones_like(loss0, bool)
+                      if cfg.retry_mode == "always"
+                      else loss0 > cfg.retry_threshold)
+        n_retry = int(jnp.sum(need_retry))
+        cand = [(loss0, agree0, r0, t0)]
+        if n_retry:
+            for base in range(1, cfg.angle_passes):
+                m2, r2, t2 = run_pass(float(base))
+                loss_b, agree_b, r_b, t_b = _window_candidate(
+                    m2, r2, t2, cfg)
+                cand.append((jnp.where(need_retry, loss_b, jnp.inf),
+                             agree_b, r_b, t_b))
+        cand_loss = jnp.stack([c[0] for c in cand], axis=1)
+        cand_agree = jnp.stack([c[1] for c in cand], axis=1)
+        cand_r = jnp.stack([c[2] for c in cand], axis=1)
+        cand_t = jnp.stack([c[3] for c in cand], axis=1)
+        widx = _consensus_merge(cand_loss, cand_agree, cfg)
+        r_best = jnp.take_along_axis(
+            cand_r, widx[:, None, None, None], axis=1)[:, 0]
+        t_best = jnp.take_along_axis(
+            cand_t, widx[:, None, None], axis=1)[:, 0]
+        rmse = jnp.take_along_axis(cand_loss, widx[:, None], axis=1)[:, 0]
+        return {
+            "transform": rt_to_transformation(r_best, t_best),
+            "rmse": rmse,
+            "n_retry": jnp.asarray(n_retry),
+        }
+    if cfg.window_select != "loss":
+        raise ValueError(f"unknown window_select {cfg.window_select!r}")
     best, _ = _best_restart(min_1, cfg)
     always = cfg.retry_mode == "always"
     n_retry = int(jnp.sum(best > cfg.retry_threshold)) if not always \

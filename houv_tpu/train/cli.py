@@ -152,6 +152,7 @@ def houv_eval_main(cfg: Config, log) -> dict:
         reparam=cfg.houv_reparam, objective=cfg.houv_objective,
         two_bracket=cfg.two_bracket, nn_refresh=cfg.nn_refresh,
         nn_refresh_schedule=parse_refresh_schedule(cfg.nn_refresh_schedule),
+        window_select=cfg.window_select,
     )
     metric_names = ("RotE", "transE", "MSE", "RMSE", "recall", "GeoE")
     meters = {m: AverageValueMeter() for m in metric_names}
@@ -375,6 +376,7 @@ def test_main(argv=None):
             two_bracket=cfg.two_bracket, nn_refresh=cfg.nn_refresh,
             nn_refresh_schedule=parse_refresh_schedule(
                 cfg.nn_refresh_schedule),
+            window_select=cfg.window_select,
         )
         key = jax.random.PRNGKey(cfg.manual_seed or 2021)
         # Chunk pairs by batch_size: kernel-way restart expansion makes the

@@ -137,6 +137,10 @@ class Config:
     # (BENCH_NOTES r3 — ~3.5x the parity throughput at equal gate quality)
     nn_refresh: int = 1
     nn_refresh_schedule: str | None = None  # "N:R[:S],..." phases | "auto"
+    # angle-window selection (solvers/houv.py): 'loss' = reference
+    # keep-if-better; 'consensus' = restart-consensus rescoring for
+    # symmetric-object ambiguity (tuning knobs live on HOUVConfig)
+    window_select: str = "loss"
 
     # parallel
     n_devices: int | None = None

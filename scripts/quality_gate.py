@@ -51,6 +51,14 @@ VARIANTS = {
     "always_fast": dict(retry_mode="always",
                         nn_refresh_schedule=((300, 5, 4), (150, 5, 2),
                                              (50, 2))),
+    # restart-consensus window selection (r3 late): symmetric-object
+    # ambiguity — the true optimum's larger basin of attraction collects
+    # more restarts than the impostor's
+    "consensus_always": dict(retry_mode="always",
+                             window_select="consensus"),
+    "consensus_always_fast": dict(
+        retry_mode="always", window_select="consensus",
+        nn_refresh_schedule=((300, 5, 4), (150, 5, 2), (50, 2))),
 }
 
 

@@ -588,3 +588,85 @@ def test_nn_refresh_schedule_multires(rng):
     with pytest.raises(ValueError):
         houv_solve(jnp.asarray(src), jnp.asarray(tgt),
                    jax.random.PRNGKey(0), bad)
+
+
+def test_restart_agreement_counts():
+    """Agreement = #restarts near the window-best loss AND within
+    consensus_angle of the best rotation."""
+    from houv_tpu.solvers.houv import (
+        HOUVConfig, _best_restart, _restart_agreement)
+
+    cfg = HOUVConfig(consensus_angle=15.0, consensus_loss_ratio=1.3)
+    # K=4 restarts: best at idx 0 (identity); idx 1 agrees (5 deg away,
+    # near-optimal loss), idx 2 disagrees in rotation (170 deg), idx 3
+    # agrees in rotation but its loss is outside the ratio
+    angs = jnp.radians(jnp.asarray([0.0, 5.0, 170.0, 3.0]))
+    axes = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+    r = rodrigues(angs, axes)[None]                    # (1, 4, 3, 3)
+    min_1 = jnp.asarray([[0.009, 0.010, 0.0095, 0.10]])
+    best, idx = _best_restart(min_1, cfg)
+    assert int(idx[0]) == 0
+    agree = _restart_agreement(min_1, r, best, idx, cfg)
+    assert float(agree[0]) == 2.0  # idx 0 (itself) + idx 1
+
+
+def test_consensus_merge_rule():
+    """Among windows within consensus_window_ratio of the global best,
+    maximum agreement wins; loss breaks agreement ties; windows outside
+    the ratio are never chosen."""
+    from houv_tpu.solvers.houv import HOUVConfig, _consensus_merge
+
+    cfg = HOUVConfig(consensus_window_ratio=1.5)
+    # near-tied losses, window 1 far more agreed-upon -> window 1
+    w = _consensus_merge(jnp.asarray([[0.010, 0.012]]),
+                         jnp.asarray([[1.0, 9.0]]), cfg)
+    assert int(w[0]) == 1
+    # window 1 outside the loss ratio -> its agreement cannot save it
+    w = _consensus_merge(jnp.asarray([[0.010, 0.020]]),
+                         jnp.asarray([[1.0, 9.0]]), cfg)
+    assert int(w[0]) == 0
+    # equal agreement -> lower loss wins
+    w = _consensus_merge(jnp.asarray([[0.012, 0.010]]),
+                         jnp.asarray([[3.0, 3.0]]), cfg)
+    assert int(w[0]) == 1
+    # skipped windows (inf loss from threshold retry gating) never win
+    w = _consensus_merge(jnp.asarray([[0.010, jnp.inf]]),
+                         jnp.asarray([[1.0, 9.0]]), cfg)
+    assert int(w[0]) == 0
+
+
+def test_houv_consensus_mode(rng):
+    """window_select='consensus' recovers easy poses like the loss mode and
+    the chunked twin matches the jitted path (same key, same budget)."""
+    from houv_tpu.solvers.houv import houv_solve_chunked
+
+    src, tgt, pose = _full_overlap_problem(rng, bsz=2, n=96,
+                                           max_angle_deg=30.0)
+    cfg = HOUVConfig(kernel=16, steps=120, angle_passes=2, use_pallas=False,
+                     retry_mode="always", window_select="consensus")
+    a = houv_solve(jnp.asarray(src), jnp.asarray(tgt),
+                   jax.random.PRNGKey(0), cfg)
+    ra, ta = evaluate_solution(a["transform"], jnp.asarray(pose))
+    assert float(jnp.mean(ra)) < 12.0, np.asarray(ra)
+    assert float(jnp.mean(ta)) < 0.12, np.asarray(ta)
+    b = houv_solve_chunked(jnp.asarray(src), jnp.asarray(tgt),
+                           jax.random.PRNGKey(0), cfg, step_chunk=40)
+    np.testing.assert_allclose(np.asarray(b["transform"]),
+                               np.asarray(a["transform"]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_consensus_2d_mesh_guard(rng):
+    """The 2-D restart mesh cannot count cross-shard agreement — it must
+    refuse consensus selection instead of silently diverging."""
+    from houv_tpu.parallel.mesh import make_mesh_2d, sharded_houv_solve_2d
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, tgt, _ = _full_overlap_problem(rng, bsz=2, n=64)
+    mesh = make_mesh_2d(1, 2)
+    cfg = HOUVConfig(kernel=8, steps=20, angle_passes=1, use_pallas=False,
+                     window_select="consensus")
+    with pytest.raises(NotImplementedError):
+        sharded_houv_solve_2d(jnp.asarray(src), jnp.asarray(tgt),
+                              jax.random.PRNGKey(0), mesh, cfg)
