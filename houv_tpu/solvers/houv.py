@@ -140,17 +140,20 @@ class HOUVConfig:
     nn_refresh_schedule: tuple | str | None = None
     # Angle-window selection rule (ours, not in the reference). 'loss':
     # keep-if-better by the truncated CD — reference semantics
-    # (train_utils.py:501-513). 'consensus': restart-consensus rescoring
-    # for symmetry ambiguity — plane-symmetric objects admit a wrong-window
-    # optimum whose truncated CD ties the true one (loss-based rescoring
-    # at other truncations measured negative, BENCH_NOTES r3 variant
-    # matrix), but the TRUE optimum usually sits in a larger basin of
-    # attraction, so more random restarts converge onto it. Each window
-    # candidate carries agreement = #restarts whose loss is within
-    # consensus_loss_ratio of the window best AND whose rotation is within
-    # consensus_angle degrees (geodesic) of the window-best rotation;
-    # among windows whose best loss is within consensus_window_ratio of
-    # the global best, the most-agreed-upon wins (loss breaks ties).
+    # (train_utils.py:501-513). 'consensus': restart-consensus rescoring —
+    # each window candidate carries agreement = #restarts whose loss is
+    # within consensus_loss_ratio of the window best AND whose rotation is
+    # within consensus_angle degrees (geodesic) of the window-best
+    # rotation; among windows whose best loss is within
+    # consensus_window_ratio of the global best, the most-agreed-upon wins
+    # (loss breaks ties). MEASURED NEGATIVE on the structured fixture
+    # (BENCH_NOTES r3 late session): agreement does not correlate with the
+    # oracle window (lazy wrong optima — e.g. translation-only fits in the
+    # small-angle window — also have large basins), every ratio >= 1.05
+    # degrades mean rot error, and the ORACLE window merge itself only
+    # moves mean 5.21 -> 4.75 (the residual tail is in-window, not a
+    # window-choice problem). Kept opt-in for re-measurement on real MVP
+    # statistics.
     window_select: str = "loss"
     consensus_angle: float = 15.0
     consensus_loss_ratio: float = 1.3
