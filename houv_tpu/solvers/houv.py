@@ -981,6 +981,32 @@ def houv_finalize(src, tgt, params, angle_base, cfg: HOUVConfig):
     return min_1, r, t
 
 
+def chunked_pass(src: Array, tgt: Array, params0, angle_base,
+                 cfg: HOUVConfig, step_chunk: int = 100):
+    """One angle-window pass as bounded jitted segments (host-driven):
+    the schedule phases are resolved here and each dispatch runs a whole
+    number of refresh blocks (phase lengths are validated divisible in
+    ``_refresh_phases``). Shared by ``houv_solve_chunked`` and the
+    classifier-rescored driver (solvers/rescore.py)."""
+    params = params0
+    opt_state = houv_opt_init(params, cfg)
+    for n_steps, refresh, sub in _refresh_phases(cfg):
+        cfg_r = dataclasses.replace(
+            cfg, nn_refresh=refresh, nn_refresh_schedule=None)
+        src_p, tgt_p = _phase_clouds_jit(src, tgt, sub)
+        done = 0
+        while done < n_steps:
+            n = min(step_chunk, n_steps - done)
+            n -= n % refresh
+            if n == 0:
+                n = min(refresh, n_steps - done)
+            params, opt_state = houv_pass_segment(
+                src_p, tgt_p, params, opt_state, angle_base, cfg_r, n
+            )
+            done += n
+    return houv_finalize(src, tgt, params, angle_base, cfg)
+
+
 def houv_solve_chunked(src: Array, tgt: Array, key: Array,
                        cfg: HOUVConfig = HOUVConfig(),
                        step_chunk: int = 100):
@@ -993,27 +1019,7 @@ def houv_solve_chunked(src: Array, tgt: Array, key: Array,
                          cfg.two_bracket)
 
     def run_pass(angle_base):
-        params = params0
-        opt_state = houv_opt_init(params, cfg)
-        for n_steps, refresh, sub in _refresh_phases(cfg):
-            cfg_r = dataclasses.replace(
-                cfg, nn_refresh=refresh, nn_refresh_schedule=None)
-            src_p, tgt_p = _phase_clouds_jit(src, tgt, sub)
-            done = 0
-            while done < n_steps:
-                # segments must respect the phase cadence: each dispatch
-                # runs a whole number of refresh blocks (remaining is
-                # always a multiple of refresh — phase lengths are
-                # validated divisible in _refresh_phases)
-                n = min(step_chunk, n_steps - done)
-                n -= n % refresh
-                if n == 0:
-                    n = min(refresh, n_steps - done)
-                params, opt_state = houv_pass_segment(
-                    src_p, tgt_p, params, opt_state, angle_base, cfg_r, n
-                )
-                done += n
-        return houv_finalize(src, tgt, params, angle_base, cfg)
+        return chunked_pass(src, tgt, params0, angle_base, cfg, step_chunk)
 
     min_1, r, t = run_pass(0)
     if cfg.window_select == "consensus":

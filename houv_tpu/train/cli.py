@@ -81,6 +81,8 @@ def build_dataset(cfg: Config, split: str, index_range=None):
         data = synthesize_registration_pairs(
             n, n_points=cfg.num_points, max_angle_deg=cfg.max_angle,
             max_trans=cfg.max_trans, seed=2021 if split == "train" else 7,
+            shape_mode=cfg.synthetic_shape,
+            rot_mix=(cfg.synthetic_shape == "structured"),
         )
         return MVPRegistrationDataset(
             split, data=data, max_angle_deg=cfg.max_angle,

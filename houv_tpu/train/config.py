@@ -48,6 +48,10 @@ class Config:
     # size of the synthetic fallback splits (None = 128 train / 64 other);
     # lets sweep rehearsals run at reference scale without the MVP .h5
     synthetic_size: int | None = None
+    # synthetic registration fixture shapes: 'blobs' (r1 ellipsoids) |
+    # 'structured' (panel/bar objects with MVP-like CD statistics —
+    # what the quality gates use, data/mvp.py:synthesize_registration_pairs)
+    synthetic_shape: str = "blobs"
     # mixed precision for every learned model (pcn, ecg, vrcnet,
     # vrcnet_knn, dcp, deepgmr, idam, transformer, model_embedding,
     # alignment_spconv, voxel_asym): 'bfloat16' runs the hot

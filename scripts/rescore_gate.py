@@ -1,0 +1,126 @@
+"""Classifier-rescored solver quality gate on the MVP-statistics fixture.
+
+Compares, at identical solver budget and fixture protocol as
+scripts/quality_gate.py:
+
+  loss       — reference selection (houv_solve_chunked)
+  oracle     — rescored with the GT-rotation oracle (the recoverable
+               upper bound given the candidate pools)
+  classifier — rescored with a trained AlignmentClassifier checkpoint
+
+Usage: python scripts/rescore_gate.py [n_pairs] [ckpt] [variant]
+  ckpt: path to an alignment_spconv checkpoint
+        (default log/alignment_spconv_rescorer/best_acc_network.ckpt;
+        pass 'none' to skip the classifier row)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from houv_tpu.data import synthesize_registration_pairs
+from houv_tpu.solvers import HOUVConfig
+from houv_tpu.solvers.houv import evaluate_solution
+from houv_tpu.solvers.rescore import (
+    houv_candidate_pools,
+    houv_solve_rescored,
+    make_classifier_scorer,
+    make_oracle_scorer,
+)
+from houv_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+VARIANTS = {
+    "canonical": {},
+    "always": dict(retry_mode="always"),
+    "always_fast": dict(retry_mode="always",
+                        nn_refresh_schedule=((300, 5, 4), (150, 5, 2),
+                                             (50, 2))),
+}
+
+
+def _stats(tag, transform, gt, extra=""):
+    r_err, t_err = evaluate_solution(transform, jnp.asarray(gt))
+    r = np.asarray(r_err)
+    t = np.asarray(t_err)
+    print(f"{tag:11s} rot med {np.median(r):5.2f}  mean {r.mean():6.2f}  "
+          f"<5° {np.mean(r < 5) * 100:3.0f}%  <10° {np.mean(r < 10) * 100:3.0f}%  "
+          f"trans med {np.median(t):.4f}  {extra}")
+    return r
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    ckpt = sys.argv[2] if len(sys.argv) > 2 else \
+        "log/alignment_spconv_rescorer/best_acc_network.ckpt"
+    variant = sys.argv[3] if len(sys.argv) > 3 else "always_fast"
+    n_cand = int(os.environ.get("RESCORE_CANDS", "8"))
+    angle_deg = float(os.environ.get("RESCORE_ANGLE", "10"))
+    margin = float(os.environ.get("RESCORE_MARGIN", "0"))
+
+    data = synthesize_registration_pairs(
+        n, n_points=2048, max_angle_deg=90.0, max_trans=0.5, seed=11,
+        shape_mode="structured", rot_mix=True,
+    )
+    kw = dict(kernel=64, steps=500, angle_passes=4, retry_threshold=0.030)
+    kw.update(VARIANTS[variant])
+    cfg = HOUVConfig(**kw)
+    src = jnp.asarray(data["rotated_src"])
+    tgt = jnp.asarray(data["rotated_tgt"])
+    gt = data["transforms"]
+    key = jax.random.PRNGKey(3)
+    print(f"variant {variant}  n_cand {n_cand}  angle {angle_deg}  "
+          f"margin {margin}")
+
+    t0 = time.perf_counter()
+    pools = houv_candidate_pools(src, tgt, key, cfg)
+    print(f"solve wall {time.perf_counter() - t0:.0f}s  "
+          f"retries {pools[3]}")
+    # loss row = candidate 0 on the same pools (margin=inf never overrides)
+    base = houv_solve_rescored(
+        src, tgt, key, cfg, make_oracle_scorer(gt),
+        n_cand=1, margin=float("inf"), pools=pools,
+    )
+    _stats("loss", base["transform"], gt)
+
+    t0 = time.perf_counter()
+    orc = houv_solve_rescored(
+        src, tgt, key, cfg, make_oracle_scorer(gt),
+        n_cand=n_cand, angle_deg=angle_deg, margin=margin, pools=pools,
+    )
+    _stats("oracle", orc["transform"], gt,
+           extra=f"overrides {int(orc['n_override'])}  "
+                 f"wall {time.perf_counter() - t0:.0f}s")
+
+    if ckpt != "none" and os.path.exists(ckpt):
+        from houv_tpu.models import get_model
+        from houv_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(ckpt)
+        variables = {"params": state["params"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        model = get_model("alignment_spconv", grid_size=50,
+                          compute_dtype="bfloat16")
+        scorer = make_classifier_scorer(model, variables, micro_batch=16)
+        t0 = time.perf_counter()
+        cls = houv_solve_rescored(
+            src, tgt, key, cfg, scorer,
+            n_cand=n_cand, angle_deg=angle_deg, margin=margin,
+        )
+        _stats("classifier", cls["transform"], gt,
+               extra=f"overrides {int(cls['n_override'])}  "
+                     f"wall {time.perf_counter() - t0:.0f}s")
+    else:
+        print(f"classifier: skipped (no checkpoint at {ckpt})")
+
+
+if __name__ == "__main__":
+    main()
