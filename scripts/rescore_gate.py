@@ -61,7 +61,10 @@ def main():
     ckpt = sys.argv[2] if len(sys.argv) > 2 else \
         "log/alignment_spconv_rescorer/best_acc_network.ckpt"
     variant = sys.argv[3] if len(sys.argv) > 3 else "always_fast"
-    n_cand = int(os.environ.get("RESCORE_CANDS", "8"))
+    # n_cand=16 promoted by the offline oracle-extraction gate (BENCH_NOTES
+    # r3 session 9): at 16/10° the candidate list contains a ≤8° restart
+    # for every loss-pick failure (recall<10° 88→100%); 8 captures 2 of 3.
+    n_cand = int(os.environ.get("RESCORE_CANDS", "16"))
     angle_deg = float(os.environ.get("RESCORE_ANGLE", "10"))
     margin = float(os.environ.get("RESCORE_MARGIN", "0"))
 
