@@ -160,6 +160,42 @@ def test_classifier_scorer_shapes(rng):
         np.asarray(logits), np.asarray(direct), rtol=2e-5, atol=2e-5)
 
 
+def test_classifier_checkpoint_gate_seam(rng, tmp_path):
+    """The exact scripts/rescore_gate.py classifier branch: trainer-shaped
+    checkpoint -> load_checkpoint (no template) -> variables dict ->
+    make_classifier_scorer -> houv_solve_rescored. Guards the round-4
+    chip measurement's only previously-unexecuted code path."""
+    from houv_tpu.models import get_model
+    from houv_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    src, tgt, pose = _impostor_problem(rng)
+    model = get_model("alignment_spconv", grid_size=12, init_size=4)
+    init_vars = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(tgt), False)
+    state = {"params": init_vars["params"],
+             "batch_stats": init_vars.get("batch_stats", {})}
+    ckpt = str(tmp_path / "best_acc_network.ckpt")
+    save_checkpoint(ckpt, state)
+
+    loaded = load_checkpoint(ckpt)
+    variables = {"params": loaded["params"]}
+    if loaded.get("batch_stats"):
+        variables["batch_stats"] = loaded["batch_stats"]
+    scorer = make_classifier_scorer(model, variables, micro_batch=4)
+
+    cfg = HOUVConfig(kernel=8, steps=60, angle_passes=2, use_pallas=False)
+    out = houv_solve_rescored(
+        jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(7), cfg,
+        scorer, n_cand=3, angle_deg=10.0,
+    )
+    logits = np.asarray(out["cand_logits"])
+    assert logits.shape == (1, 3) and np.isfinite(logits).all()
+    assert out["transform"].shape == (1, 4, 4)
+    # untrained logits are candidate-independent only by accident; the
+    # pick must still be a valid candidate index
+    assert 0 <= int(out["pick"][0]) < 3
+
+
 def test_oracle_logits():
     gt = np.zeros((1, 4, 4), np.float32)
     gt[:, :3, :3] = _rot_z(30)
