@@ -152,6 +152,37 @@ def test_registration_trainer_smoke(tmp_path):
     assert set(metrics) == {"RotE", "transE", "MSE", "RMSE", "recall"}
 
 
+@pytest.mark.slow
+def test_alignment_trainer_smoke(tmp_path):
+    """AlignmentTrainer end-to-end at miniature scale — the exact
+    cfgs/rescore_alignment.yaml path (config -> AlignedPairView batches ->
+    BCE train step -> validate -> best_acc checkpoint) that round 4 runs
+    at full size on the chip before the classifier-rescore gate."""
+    from houv_tpu.train.aux import AlignmentTrainer
+
+    cfg = Config(model_name="alignment_spconv", dataset="mvp_rg",
+                 num_points=64, batch_size=2, nepoch=1, lr=1e-3,
+                 grid_size=12, work_dir=str(tmp_path),
+                 step_interval_to_print=1000)
+    data = synthesize_registration_pairs(4, n_points=64, seed=3)
+    train_ds = MVPRegistrationDataset("train", data=data)
+    trainer = AlignmentTrainer(cfg)
+    wrapped = trainer.wrap_dataset(train_ds)
+    from houv_tpu.data.pipeline import batch_iterator
+
+    first = next(batch_iterator(wrapped, cfg.batch_size, seed=0))
+    assert first["src_moved"].shape == (2 * cfg.batch_size, 64, 3)
+    assert set(np.unique(first["lbl"])) == {0.0, 1.0}
+    trainer.init_state(first)
+    loss = trainer.train_step(first, epoch=0, step=0)
+    assert np.isfinite(float(loss))
+    metrics = trainer.validate(MVPRegistrationDataset("val", data=data),
+                               epoch=0)
+    assert "acc" in metrics and np.isfinite(metrics["acc"])
+    assert os.path.exists(
+        os.path.join(trainer.log_dir, "best_acc_network.ckpt"))
+
+
 def test_submission_writer(tmp_path):
     import h5py
 
