@@ -259,6 +259,8 @@ def synthesize_registration_pairs(
     rotated_src = np.empty_like(src)
     rotated_tgt = np.empty_like(src)
     transforms = np.empty((n_pairs, 4, 4), np.float32)
+    pose_src = np.empty((n_pairs, 4, 4), np.float32)
+    pose_tgt = np.empty((n_pairs, 4, 4), np.float32)
     complete = np.empty((n_pairs, 2 * n_points, 3), np.float32)
     match_level = rng.integers(0, 2, n_pairs).astype(np.int32)
     rot_level = np.zeros(n_pairs, np.int32)
@@ -283,7 +285,16 @@ def synthesize_registration_pairs(
         rotated_src[i] = src[i] @ pose1[:3, :3].T + pose1[:3, 3]
         rotated_tgt[i] = tgt[i] @ pose2[:3, :3].T + pose2[:3, 3]
         transforms[i] = transform
+        pose_src[i] = pose1
+        pose_tgt[i] = pose2
         complete[i] = shape[: 2 * n_points]
+    # ragged per-pair matching-view index lists (reference match_id is an
+    # h5 GROUP of variable-length int arrays, dataset.py:77-80)
+    match_id = [
+        np.sort(rng.choice(n_pairs, rng.integers(1, min(6, n_pairs) + 1),
+                           replace=False)).astype(np.int64)
+        for _ in range(n_pairs)
+    ]
     return {
         "src": src,
         "tgt": tgt,
@@ -291,9 +302,12 @@ def synthesize_registration_pairs(
         "rotated_tgt": rotated_tgt,
         "transforms": transforms,
         "complete": complete,
+        "pose_src": pose_src,
+        "pose_tgt": pose_tgt,
         "cat_labels": rng.integers(0, 16, n_pairs).astype(np.int32),
         "match_level": match_level,
         "rot_level": rot_level,
+        "match_id": match_id,
     }
 
 
@@ -364,7 +378,12 @@ def write_mvp_rg_fixture(path: str, data: dict | None = None, n_pairs: int = 16,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
         for k, v in data.items():
-            f.create_dataset(k, data=v)
+            if isinstance(v, list):  # ragged match_id -> GROUP "0".."N-1"
+                g = f.create_group(k)
+                for i, row in enumerate(v):
+                    g.create_dataset(str(i), data=row)
+            else:
+                f.create_dataset(k, data=v)
     return data
 
 

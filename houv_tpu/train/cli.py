@@ -244,8 +244,13 @@ def icp_eval_main(cfg: Config, log) -> dict:
 def train_main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
+    p.add_argument("--data-path", default=None,
+                   help="MVP .h5 file; overrides the config's data_path "
+                        "(absent file -> synthetic fallback)")
     args = p.parse_args(argv)
     cfg = load_config(args.config)
+    if args.data_path:
+        cfg.data_path = args.data_path
     if cfg.model_name == "houv":
         setup_logging(os.path.join(cfg.work_dir, "houv"))
         log = logging.getLogger("houv_tpu")
@@ -334,9 +339,14 @@ def test_main(argv=None):
     p.add_argument("-l", type=int, default=None)
     p.add_argument("-r", type=int, default=None)
     p.add_argument("--combine", default=False)
+    p.add_argument("--data-path", default=None,
+                   help="MVP .h5 file; overrides the config's data_path "
+                        "(absent file -> synthetic fallback)")
     args = p.parse_args(argv)
     cfg = load_config(args.config)
     cfg._config_path = args.config
+    if args.data_path:
+        cfg.data_path = args.data_path
     setup_logging(None)
     log = logging.getLogger("houv_tpu")
 

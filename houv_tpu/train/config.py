@@ -113,6 +113,8 @@ class Config:
     # residuals instead — measured faster at B=16/B=32 on v5e (param
     # paths unaffected: the checkpoint wraps the pure op, not the module).
     voxel_conv_remat: bool = False
+    # vrcnet_knn: one-dispatch train loss (models/vrcnet_knn.fused_cd)
+    fused_cd: bool = False
     grid_size: int = 50              # voxel branch grid (50³, dataset.py:264)
     voxel_init_size: int = 128       # Asymm3DSpconv init channel width
     use_rri: bool = True

@@ -66,7 +66,8 @@ def model_from_config(cfg: Config):
                   pk=cfg.pk, voxel_grid_size=cfg.grid_size,
                   voxel_init_size=cfg.voxel_init_size,
                   remat=cfg.use_remat, compute_dtype=cfg.compute_dtype,
-                  voxel_conv_remat=cfg.voxel_conv_remat)
+                  voxel_conv_remat=cfg.voxel_conv_remat,
+                  fused_cd=cfg.fused_cd)
     elif name == "dcp":
         kw = dict(cycle=cfg.cycle, compute_dtype=cfg.compute_dtype)
     elif name == "deepgmr":

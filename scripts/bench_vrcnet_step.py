@@ -37,12 +37,13 @@ def main():
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     compute_dtype = sys.argv[4] if len(sys.argv) > 4 else None
     sa_remat = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+    fused_cd = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 
     model = get_model(
         "vrcnet_knn", num_native=2048, num_coarse=1024, num_fine=3072,
         feature_size=2048, layers=(1, 1, 1, 1), knn_list=(16,), pk=10,
         remat=sa_remat, voxel_conv_remat=conv_remat,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, fused_cd=fused_cd,
     )
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (bsz, 2048, 3), jnp.float32) * 0.3
@@ -63,7 +64,9 @@ def main():
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state):
         def loss_fn(p):
             out, _ = model.apply(
@@ -90,6 +93,7 @@ def main():
     _sync(loss)
     ms = (time.perf_counter() - t0) / n_steps * 1e3
     print(f"B={bsz} conv_remat={conv_remat} sa_remat={sa_remat} "
+          f"fused_cd={fused_cd} "
           f"dtype={compute_dtype or 'f32'}: {ms:.0f} ms/step "
           f"= {bsz / (ms / 1e3):.1f} clouds/s (loss {_sync(loss):.4f})",
           flush=True)

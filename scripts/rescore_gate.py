@@ -10,8 +10,15 @@ scripts/quality_gate.py:
 
 Usage: python scripts/rescore_gate.py [n_pairs] [ckpt] [variant]
   ckpt: path to an alignment_spconv checkpoint
-        (default log/alignment_spconv_rescorer/best_acc_network.ckpt;
-        pass 'none' to skip the classifier row)
+        (default: best_acc_network.ckpt in the log dir the rescorer
+        trainer writes — work_dir/{model_name}_{loss}_{flag} from
+        cfgs/rescore_alignment.yaml; pass 'none' to skip the
+        classifier row)
+
+RESCORE_CANDS accepts a comma list (e.g. "8,16") — the classifier row
+is measured at each count on the same candidate pools (ADVICE r3: 16
+was promoted on the oracle metric, which is monotone in count; the
+classifier's precision at 8 vs 16 must be measured separately).
 """
 
 import os
@@ -56,15 +63,28 @@ def _stats(tag, transform, gt, extra=""):
     return r
 
 
+def _default_ckpt() -> str:
+    """Mirror _TrainerBase.log_dir for cfgs/rescore_alignment.yaml so the
+    default path always matches where the trainer saved (ADVICE r3)."""
+    from houv_tpu.train.config import load_config
+
+    cfg = load_config("cfgs/rescore_alignment.yaml")
+    return os.path.join(
+        cfg.work_dir, f"{cfg.model_name}_{cfg.loss}_{cfg.flag}",
+        "best_acc_network.ckpt",
+    )
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    ckpt = sys.argv[2] if len(sys.argv) > 2 else \
-        "log/alignment_spconv_rescorer/best_acc_network.ckpt"
+    ckpt = sys.argv[2] if len(sys.argv) > 2 else _default_ckpt()
     variant = sys.argv[3] if len(sys.argv) > 3 else "always_fast"
     # n_cand=16 promoted by the offline oracle-extraction gate (BENCH_NOTES
     # r3 session 9): at 16/10° the candidate list contains a ≤8° restart
     # for every loss-pick failure (recall<10° 88→100%); 8 captures 2 of 3.
-    n_cand = int(os.environ.get("RESCORE_CANDS", "16"))
+    cand_list = [int(c) for c in
+                 os.environ.get("RESCORE_CANDS", "16").split(",")]
+    n_cand = max(cand_list)
     angle_deg = float(os.environ.get("RESCORE_ANGLE", "10"))
     margin = float(os.environ.get("RESCORE_MARGIN", "0"))
 
@@ -113,14 +133,18 @@ def main():
         model = get_model("alignment_spconv", grid_size=50,
                           compute_dtype="bfloat16")
         scorer = make_classifier_scorer(model, variables, micro_batch=16)
-        t0 = time.perf_counter()
-        cls = houv_solve_rescored(
-            src, tgt, key, cfg, scorer,
-            n_cand=n_cand, angle_deg=angle_deg, margin=margin,
-        )
-        _stats("classifier", cls["transform"], gt,
-               extra=f"overrides {int(cls['n_override'])}  "
-                     f"wall {time.perf_counter() - t0:.0f}s")
+        # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
+        # re-solving would double wall and risk a second long dispatch.
+        for nc in cand_list:
+            t0 = time.perf_counter()
+            cls = houv_solve_rescored(
+                src, tgt, key, cfg, scorer,
+                n_cand=nc, angle_deg=angle_deg, margin=margin,
+                pools=pools,
+            )
+            _stats(f"clf@{nc}", cls["transform"], gt,
+                   extra=f"overrides {int(cls['n_override'])}  "
+                         f"wall {time.perf_counter() - t0:.0f}s")
     else:
         print(f"classifier: skipped (no checkpoint at {ckpt})")
 

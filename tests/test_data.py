@@ -36,6 +36,44 @@ def test_registration_fixture_consistency(tmp_path):
     assert np.median(nn) < np.median(random_nn)
 
 
+def test_reference_schema_fixture_and_validator(tmp_path):
+    """The fixture writer emits the full reference MVP_RG schema —
+    ragged match_id GROUP, pose_src/pose_tgt — and scripts/prepare_mvp.py
+    validates it (VERDICT r3 next-round #5)."""
+    import importlib.util
+
+    path = str(tmp_path / "MVP_Test_RG.h5")
+    data = write_mvp_rg_fixture(path, n_pairs=6, n_points=64)
+    # pose algebra: rotated_src = src @ pose_srcᵀ, pose_tgt = T @ pose_src
+    rs = np.einsum(
+        "bij,bnj->bni", data["pose_src"][:, :3, :3], data["src"]
+    ) + data["pose_src"][:, None, :3, 3]
+    np.testing.assert_allclose(rs, data["rotated_src"], atol=1e-5)
+    np.testing.assert_allclose(
+        data["transforms"] @ data["pose_src"], data["pose_tgt"], atol=1e-5
+    )
+    loaded = load_h5(path)
+    assert isinstance(loaded["match_id"], list)
+    np.testing.assert_array_equal(loaded["match_id"][2], data["match_id"][2])
+
+    spec = importlib.util.spec_from_file_location(
+        "prepare_mvp", "scripts/prepare_mvp.py"
+    )
+    prep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prep)
+    assert prep.check_file(path, "MVP_Test_RG.h5", strict=False) == []
+    # strict mode flags the non-2048 point count
+    assert any("2048" in p
+               for p in prep.check_file(path, "MVP_Test_RG.h5"))
+    # a missing ragged group is detected
+    import h5py
+    with h5py.File(path, "a") as f:
+        del f["match_id"]
+    assert any("match_id" in p
+               for p in prep.check_file(path, "MVP_Test_RG.h5",
+                                        strict=False))
+
+
 def test_registration_dataset_splits(tmp_path):
     path = str(tmp_path / "rg.h5")
     write_mvp_rg_fixture(path, n_pairs=8, n_points=64)

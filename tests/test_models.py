@@ -113,6 +113,44 @@ def test_vrcnet_knn_with_voxels(rng):
     )
 
 
+def test_vrcnet_knn_fused_cd_matches_separate(rng):
+    """fused_cd=True stacks the 3 train CDs into one chamfer dispatch
+    (padded + masked); total_loss and grads must match the separate-CD
+    path bitwise-closely."""
+    from houv_tpu.ops.voxel import voxel_grid_indices
+
+    x, gt = _clouds(rng, 2, 256)
+    gt = jnp.concatenate([gt, gt], axis=1)[:, :256]
+    coords = voxel_grid_indices(x, grid_size=20)
+    label = jnp.zeros((2,), jnp.int32)
+    kw = dict(num_native=256, num_coarse=128, num_fine=384,
+              layers=(1, 1, 1, 1), knn_list=(8,), pk=8,
+              voxel_grid_size=20, voxel_init_size=16)
+    sep = get_model("vrcnet_knn", **kw)
+    fus = get_model("vrcnet_knn", fused_cd=True, **kw)
+    variables = sep.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, gt, label, coords, "train",
+    )
+
+    def loss(model, p):
+        o, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x, gt, label, coords, "train", mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return o["total_loss"]
+
+    l_sep, g_sep = jax.value_and_grad(lambda p: loss(sep, p))(
+        variables["params"])
+    l_fus, g_fus = jax.value_and_grad(lambda p: loss(fus, p))(
+        variables["params"])
+    assert jnp.allclose(l_sep, l_fus, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sep),
+                    jax.tree_util.tree_leaves(g_fus)):
+        assert jnp.allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_dcp_forward_and_loss(rng):
     x, _ = _clouds(rng, 2, 128)
     r = rodrigues(jnp.asarray(np.float32(0.3)), jnp.asarray([0.0, 0.0, 1.0]))
