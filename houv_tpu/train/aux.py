@@ -81,6 +81,62 @@ class AlignedPairView:
         return {"src_moved": moved, "tgt": tgt2, "lbl": labels}
 
 
+class PoolCandidateDataset(AlignedPairView):
+    """Precomputed candidate-pool classification rows
+    (scripts/make_rescore_dataset.py): the rescorer's REAL input
+    distribution — rotation-NMS'd CD optima from solver pools, labeled by
+    GT rotation error — instead of AlignedPairView's random perturbations
+    of the GT transform.
+
+    Motivation (BENCH_NOTES r4): the perturbation-trained classifier hit
+    0.90 held-out acc yet destroyed solve quality when wired into
+    rescoring (median 1.80° -> 5.0°+, half the pairs falsely overridden):
+    random >5° perturbations are trivially separable, while the actual
+    candidates are all CD-converged optima. Train on the pools instead.
+
+    Subclasses AlignedPairView only so AlignmentTrainer.wrap_dataset
+    passes it through; rows are already classifier-shaped."""
+
+    def __init__(self, source, balance: bool = True, seed: int = 0,
+                 augment: bool = False):
+        if isinstance(source, str):
+            z = np.load(source)
+            source = {k: z[k] for k in ("src_moved", "tgt", "lbl")}
+        self.rows = {k: np.asarray(v) for k, v in source.items()}
+        self.augment = augment
+        lbl = self.rows["lbl"]
+        idx = np.arange(len(lbl))
+        if balance:
+            pos = idx[lbl > 0.5]
+            neg = idx[lbl <= 0.5]
+            if len(pos) and len(neg) > len(pos):
+                idx = np.concatenate(
+                    [neg] + [pos] * int(round(len(neg) / len(pos)))
+                )
+        self._index = np.random.default_rng(seed).permutation(idx)
+
+    def __len__(self):
+        return len(self._index)
+
+    def get_batch(self, indices, rng=None):
+        rows = self._index[np.asarray(indices) % len(self._index)]
+        batch = {k: v[rows] for k, v in self.rows.items()}
+        if self.augment:
+            # joint random rotation of the overlay: alignment quality is
+            # SO(3)-invariant but the voxel grid is axis-aligned — rotating
+            # (src_moved, tgt) together multiplies the effective training
+            # set without changing any label
+            from houv_tpu.data.mvp import random_pose_np
+
+            rng = rng or np.random.default_rng()
+            for i in range(len(rows)):
+                r = random_pose_np(rng, np.pi, 0.0)[:3, :3].astype(
+                    np.float32)
+                batch["src_moved"][i] = batch["src_moved"][i] @ r.T
+                batch["tgt"][i] = batch["tgt"][i] @ r.T
+        return batch
+
+
 @dataclasses.dataclass
 class VoxelTargetView:
     """Completion batches + per-point voxel coords for both partial and gt

@@ -86,7 +86,9 @@ def main():
                  os.environ.get("RESCORE_CANDS", "16").split(",")]
     n_cand = max(cand_list)
     angle_deg = float(os.environ.get("RESCORE_ANGLE", "10"))
-    margin = float(os.environ.get("RESCORE_MARGIN", "0"))
+    margins = [float(m) for m in
+               os.environ.get("RESCORE_MARGIN", "0").split(",")]
+    margin = margins[0]
 
     data = synthesize_registration_pairs(
         n, n_points=2048, max_angle_deg=90.0, max_trans=0.5, seed=11,
@@ -136,15 +138,16 @@ def main():
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
         # re-solving would double wall and risk a second long dispatch.
         for nc in cand_list:
-            t0 = time.perf_counter()
-            cls = houv_solve_rescored(
-                src, tgt, key, cfg, scorer,
-                n_cand=nc, angle_deg=angle_deg, margin=margin,
-                pools=pools,
-            )
-            _stats(f"clf@{nc}", cls["transform"], gt,
-                   extra=f"overrides {int(cls['n_override'])}  "
-                         f"wall {time.perf_counter() - t0:.0f}s")
+            for mg in margins:
+                t0 = time.perf_counter()
+                cls = houv_solve_rescored(
+                    src, tgt, key, cfg, scorer,
+                    n_cand=nc, angle_deg=angle_deg, margin=mg,
+                    pools=pools,
+                )
+                _stats(f"clf@{nc}/m{mg:g}", cls["transform"], gt,
+                       extra=f"overrides {int(cls['n_override'])}  "
+                             f"wall {time.perf_counter() - t0:.0f}s")
     else:
         print(f"classifier: skipped (no checkpoint at {ckpt})")
 

@@ -204,3 +204,33 @@ def test_oracle_logits():
     lg = np.asarray(oracle_logits(jnp.asarray(cand_r), jnp.asarray(gt)))
     assert lg[0, 0] == pytest.approx(0.0, abs=1e-3)
     assert lg[0, 1] == pytest.approx(-60.0, abs=1e-3)
+
+
+def test_pool_candidate_dataset_balance_and_batches():
+    """PoolCandidateDataset oversamples positives to ~1:1 and yields
+    classifier-shaped batches; AlignmentTrainer.wrap_dataset passes it
+    through untouched."""
+    import numpy as np
+
+    from houv_tpu.train.aux import AlignedPairView, PoolCandidateDataset
+
+    n = 40
+    rows = {
+        "src_moved": np.random.default_rng(0).normal(
+            size=(n, 32, 3)).astype(np.float32),
+        "tgt": np.zeros((n, 32, 3), np.float32),
+        "lbl": (np.arange(n) % 8 == 0).astype(np.float32),  # 1:7
+    }
+    ds = PoolCandidateDataset(rows, balance=True, seed=1)
+    assert isinstance(ds, AlignedPairView)
+    all_lbl = np.concatenate([
+        ds.get_batch(np.arange(s, min(s + 16, len(ds))))["lbl"]
+        for s in range(0, len(ds), 16)
+    ])
+    assert 0.35 < all_lbl.mean() < 0.65
+    b = ds.get_batch(np.arange(16))
+    assert b["src_moved"].shape == (16, 32, 3)
+    assert b["tgt"].shape == (16, 32, 3)
+
+    raw = PoolCandidateDataset(rows, balance=False)
+    assert len(raw) == n
