@@ -127,6 +127,37 @@ def make_trainer(cfg: Config, mesh=None):
     return CompletionTrainer(cfg, mesh=mesh)
 
 
+def make_rescorer(cfg: Config, log):
+    """Classifier scorer from cfg.rescore_ckpt, or None. When set, HOUV
+    solves route through houv_solve_rescored (host-driven chunked,
+    single-device): candidate 0 stays the reference loss pick; a
+    rotation-NMS'd candidate overrides it only when the trained
+    AlignmentClassifier prefers it by cfg.rescore_margin (BENCH_NOTES r4:
+    128-pair gate mean 7.17° -> 3.29°, oracle bound 2.36°)."""
+    if not cfg.rescore_ckpt:
+        return None
+    if not os.path.exists(cfg.rescore_ckpt):
+        log.warning(
+            "rescore_ckpt %s not found — solving WITHOUT rescoring. "
+            "Train it: scripts/make_rescore_dataset.py + "
+            "scripts/train_rescorer_pool.py", cfg.rescore_ckpt)
+        return None
+    from houv_tpu.models import get_model
+    from houv_tpu.solvers.rescore import make_classifier_scorer
+    from houv_tpu.train.checkpoint import load_checkpoint
+
+    state = load_checkpoint(cfg.rescore_ckpt)
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    model = get_model("alignment_spconv", grid_size=cfg.grid_size,
+                      compute_dtype="bfloat16")
+    log.info("rescoring enabled: ckpt=%s n_cand=%d angle=%.1f margin=%.2f",
+             cfg.rescore_ckpt, cfg.rescore_cands, cfg.rescore_angle,
+             cfg.rescore_margin)
+    return make_classifier_scorer(model, variables, micro_batch=16)
+
+
 def houv_eval_main(cfg: Config, log) -> dict:
     """Solver evaluation on the labeled val split (reference
     registration/train_HOUV.py:40-131: deliberately aliases the train loop
@@ -161,14 +192,25 @@ def houv_eval_main(cfg: Config, log) -> dict:
     grid = SplitMeterGrid(metrics=metric_names)
     bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
     key = jax.random.PRNGKey(cfg.manual_seed or 2021)
+    scorer = make_rescorer(cfg, log)
+    if scorer is not None:
+        from houv_tpu.solvers.rescore import houv_solve_rescored
     t0 = time.time()
     n_done = 0
     for start in range(0, (len(ds) // bs) * bs, bs):
         batch = ds.get_batch(np.arange(start, start + bs))
-        out = sharded_houv_solve(
-            jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
-            jax.random.fold_in(key, start), mesh, scfg,
-        )
+        if scorer is not None:
+            out = houv_solve_rescored(
+                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+                jax.random.fold_in(key, start), scfg, scorer,
+                n_cand=cfg.rescore_cands, angle_deg=cfg.rescore_angle,
+                margin=cfg.rescore_margin,
+            )
+        else:
+            out = sharded_houv_solve(
+                jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
+                jax.random.fold_in(key, start), mesh, scfg,
+            )
         tf = out["transform"]
         t_gt = jnp.asarray(batch["transform"])
         r_err, t_err = evaluate_solution(tf, t_gt)
@@ -377,6 +419,9 @@ def test_main(argv=None):
         from houv_tpu.solvers import HOUVConfig
         from houv_tpu.solvers.houv import houv_solve_chunked
 
+        scorer = make_rescorer(cfg, log)
+        if scorer is not None:
+            from houv_tpu.solvers.rescore import houv_solve_rescored
         mesh = make_mesh(cfg.n_devices)
         n_dev = mesh.devices.size
         scfg = HOUVConfig(
@@ -406,7 +451,13 @@ def test_main(argv=None):
             src = jnp.asarray(batch["src"])
             tgt = jnp.asarray(batch["tgt"])
             ckey = jax.random.fold_in(key, start)
-            if n_dev == 1:
+            if scorer is not None:
+                out = houv_solve_rescored(
+                    src, tgt, ckey, scfg, scorer,
+                    n_cand=cfg.rescore_cands, angle_deg=cfg.rescore_angle,
+                    margin=cfg.rescore_margin,
+                )
+            elif n_dev == 1:
                 # single chip: bounded dispatches (long single XLA programs
                 # can trip remote-runtime watchdogs)
                 out = houv_solve_chunked(src, tgt, ckey, scfg)

@@ -147,6 +147,12 @@ class Config:
     # keep-if-better; 'consensus' = restart-consensus rescoring for
     # symmetric-object ambiguity (tuning knobs live on HOUVConfig)
     window_select: str = "loss"
+    # classifier-rescored restart selection (solvers/rescore.py; train the
+    # scorer with scripts/make_rescore_dataset.py + train_rescorer_pool.py)
+    rescore_ckpt: str | None = None
+    rescore_cands: int = 16
+    rescore_angle: float = 10.0
+    rescore_margin: float = 0.0
 
     # parallel
     n_devices: int | None = None

@@ -116,3 +116,30 @@ def test_gan_flag_end_to_end(tmp_path):
     assert "d_params" in trainer.state
     loss = trainer.train_step(first, epoch=0, step=0)
     assert np.isfinite(float(loss))
+
+
+def test_houv_eval_with_rescore_ckpt(tmp_path):
+    """cfg.rescore_ckpt routes houv_eval_main through the classifier-
+    rescored solver (make_rescorer + houv_solve_rescored) end to end."""
+    import jax
+
+    from houv_tpu.models import get_model
+    from houv_tpu.train.checkpoint import save_checkpoint
+
+    cfg = _shrink(load_config("cfgs/houv.yaml"), tmp_path)
+    cfg.synthetic_size = 4
+    cfg.batch_size = 4
+    # checkpoint shaped exactly like make_rescorer's model construction
+    model = get_model("alignment_spconv", grid_size=cfg.grid_size,
+                      compute_dtype="bfloat16")
+    x = jax.numpy.zeros((2, cfg.num_points, 3), jax.numpy.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, False)
+    ckpt = str(tmp_path / "best_acc_network.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables.get("batch_stats", {})})
+    cfg.rescore_ckpt = ckpt
+    cfg.rescore_cands = 2
+
+    log = logging.getLogger("houv_tpu")
+    metrics = houv_eval_main(cfg, log)
+    assert np.isfinite(metrics["RotE"])
