@@ -35,7 +35,8 @@ from houv_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp", "fgr"}
+REGISTRATION_MODELS = {"dcp", "deepgmr", "idam", "houv", "icp", "goicp",
+                       "goicp_bnb", "fgr"}
 
 
 def is_registration(cfg: Config) -> bool:
@@ -264,6 +265,18 @@ def icp_eval_main(cfg: Config, log) -> dict:
         tgt = jnp.asarray(batch["tgt"])
         if cfg.model_name == "fgr":
             out = fgr_solve(src, tgt, iters=max(cfg.num_iters, 48))
+        elif cfg.model_name == "goicp_bnb":
+            from houv_tpu.solvers.goicp_bnb import goicp_bnb_solve
+
+            out = goicp_bnb_solve(
+                src, tgt, trans_half=cfg.max_trans,
+                levels=max(cfg.num_iters, 10),
+            )
+            log.info(
+                "goicp_bnb: e %.5f gap %.5f certified %d/%d",
+                float(jnp.mean(out["e"])), float(jnp.mean(out["gap"])),
+                int(jnp.sum(out["certified"])), len(src),
+            )
         elif cfg.model_name == "goicp":
             from houv_tpu.solvers.icp import goicp_solve
 
@@ -297,7 +310,7 @@ def train_main(argv=None):
         setup_logging(os.path.join(cfg.work_dir, "houv"))
         log = logging.getLogger("houv_tpu")
         return houv_eval_main(cfg, log)
-    if cfg.model_name in ("icp", "goicp", "fgr"):
+    if cfg.model_name in ("icp", "goicp", "goicp_bnb", "fgr"):
         setup_logging(os.path.join(cfg.work_dir, cfg.model_name))
         log = logging.getLogger("houv_tpu")
         return icp_eval_main(cfg, log)

@@ -29,3 +29,81 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(2021)
+
+
+# ---------------------------------------------------------------------------
+# smoke / slow tiers
+# ---------------------------------------------------------------------------
+# The default tier must stay <5 min on a 1-vCPU box (chip sessions share
+# that core; VERDICT r3 next-round #7). Every name below measured >=5 s
+# in the r4 duration sweep (BENCH_NOTES r4) — they are compile-heavy
+# variants/parity checks whose base functionality has a fast test. They
+# still run in the full tier:  python -m pytest tests/ -m "slow or not slow"
+# Durations drift: re-audit with  python -m pytest tests/ -q --durations=40
+_COMPILE_HEAVY = {
+    "test_vrcnet_knn_fused_cd_matches_separate",
+    "test_vrcnet_mmd_and_emd_options[MMD-cd]",
+    "test_vrcnet_mmd_and_emd_options[KLD-emd]",
+    "test_vrcnet_knn_amp_runs",
+    "test_conv_remat_gradient_parity",
+    "test_classifier_scorer_shapes",
+    "test_houv_v3_multi_percent_matches_reference_math",
+    "test_hybrid_encoder_runs",
+    "test_classifier_checkpoint_gate_seam",
+    "test_nn_refresh_schedule",
+    "test_idam_amp_runs",
+    "test_dense_resblock_matches_sparse",
+    "test_houv_consensus_mode",
+    "test_houv_eval_with_rescore_ckpt",
+    "test_config_end_to_end[vrcnet_knn_extratest.yaml]",
+    "test_banded_match_conv_parity",
+    "test_houv_v3_end_to_end_solves",
+    "test_sharded_solve_2d_retry_count_matches_1d",
+    "test_cli_houv_test_runs",
+    "test_trainer_with_mesh_dp",
+    "test_config_end_to_end[houv_rescore.yaml]",
+    "test_dcp_forward_and_loss",
+    "test_subm_conv_matches_dense",
+    "test_houv_variant_reparams",
+    "test_deepgmr_model",
+    "test_sharded_solve_2d_identical_when_restart_1",
+    "test_gan_harness_trains",
+    "test_houv_view_loss_gather_matches_scatter",
+    "test_cli_learned_registration_test_runs",
+    "test_voxel_downsample_chunked_parity",
+    "test_nn_refresh_cached_objective_exact_at_boundary",
+    "test_fuse_cluster_improves_over_single_view",
+    "test_oracle_rescore_end_to_end",
+    "test_dcp_amp_matches_f32",
+    "test_vox_asym_shapes",
+    "test_margin_inf_matches_chunked",
+    "test_sparse_down_halves_grid",
+    "test_nn_refresh_solves_like_refresh1",
+    "test_anisotropic_stride",
+    "test_dcp_cycle_loss",
+    "test_config_end_to_end[rescore_alignment.yaml]",
+    "test_make_trainer_builds_mesh_automatically",
+    "test_point_sa_fp_modules",
+    "test_transformer_regressor",
+    "test_constructor_row_order",
+    "test_config_end_to_end[houv_extratest.yaml]",
+    "test_config_end_to_end[embedding.yaml]",
+    "test_match_conv_parity_down",
+    "test_gradient_matches_autodiff",
+    "test_reparametrize_windows",
+    "test_fps_pallas_matches_xla",
+    "test_three_nn_and_interpolate",
+    "test_goicp_refinement_is_monotone",
+    "test_houv_v3_two_bracket_windows",
+    "test_masked_max_ignores_padding",
+    "test_houv_voxel_downsample",
+    "test_from_point_voxels_dedupes",
+    "test_match_conv_parity_subm",
+    "test_shared_query_indices_match_broadcast",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _COMPILE_HEAVY:
+            item.add_marker(pytest.mark.slow)

@@ -88,7 +88,7 @@ def test_config_end_to_end(cfg_path, tmp_path):
         assert set(metrics) >= {"RotE", "transE", "MSE", "RMSE", "recall"}
         assert metrics["MSE"] == pytest.approx(metrics["RMSE"])
         return
-    if cfg.model_name in ("icp", "goicp", "fgr"):
+    if cfg.model_name in ("icp", "goicp", "goicp_bnb", "fgr"):
         metrics = icp_eval_main(cfg, log)
         assert np.isfinite(metrics["RotE"])
         return
