@@ -192,6 +192,9 @@ def houv_eval_main(cfg: Config, log) -> dict:
     meters = {m: AverageValueMeter() for m in metric_names}
     grid = SplitMeterGrid(metrics=metric_names)
     bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
+    # clamp to the dataset: batch_size 100 (reference default) over a
+    # smaller val split must not mean zero eval iterations
+    bs = max(min(bs, (len(ds) // n_dev) * n_dev), n_dev)
     key = jax.random.PRNGKey(cfg.manual_seed or 2021)
     scorer = make_rescorer(cfg, log)
     if scorer is not None:
@@ -258,7 +261,7 @@ def icp_eval_main(cfg: Config, log) -> dict:
 
     ds = build_dataset(cfg, "val")
     meters = {m: AverageValueMeter() for m in ("RotE", "transE", "recall")}
-    bs = cfg.batch_size
+    bs = max(min(cfg.batch_size, len(ds)), 1)
     for start in range(0, (len(ds) // bs) * bs, bs):
         batch = ds.get_batch(np.arange(start, start + bs))
         src = jnp.asarray(batch["src"])

@@ -143,3 +143,16 @@ def test_houv_eval_with_rescore_ckpt(tmp_path):
     log = logging.getLogger("houv_tpu")
     metrics = houv_eval_main(cfg, log)
     assert np.isfinite(metrics["RotE"])
+
+
+def test_houv_eval_batch_larger_than_split(tmp_path):
+    """Reference default batch_size=100 over a smaller val split must
+    still evaluate (regression: zero eval iterations, r4)."""
+    cfg = _shrink(load_config("cfgs/houv.yaml"), tmp_path)
+    cfg.synthetic_size = 12  # > the 8-device CPU mesh, < batch_size
+    cfg.batch_size = 100
+    log = logging.getLogger("houv_tpu")
+    metrics = houv_eval_main(cfg, log)
+    assert np.isfinite(metrics["RotE"]) and metrics["RotE"] >= 0
+    # the meters actually saw pairs (tiny budget -> nonzero errors)
+    assert metrics["RotE"] > 0
