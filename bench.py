@@ -52,9 +52,11 @@ BASELINE_VRCNET_KNN_CLOUDS_PER_S = 14.6  # our round-2 train step (B=8)
 
 # Overall wall-clock budget. The r3 driver run was killed (rc=124) before
 # the flagship printed; sections now spend against this deadline and skip
-# when their estimated cost no longer fits.
+# when their estimated cost no longer fits. Kept safely under the
+# driver's own timeout so bench always exits rc=0 by itself and re-emits
+# the flagship as the final line (cache-warm the whole suite is ~250 s).
 _T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
 
 # Estimated worst-case section cost (cache-warm; compiles are persistent)
 # used to decide skips. Measured r3: houv ~60 s, vrcnet_knn ~75 s incl.

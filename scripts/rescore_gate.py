@@ -137,6 +137,7 @@ def main():
         scorer = make_classifier_scorer(model, variables, micro_batch=16)
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
         # re-solving would double wall and risk a second long dispatch.
+        base_r = base_rot_err = None
         for nc in cand_list:
             for mg in margins:
                 t0 = time.perf_counter()
@@ -145,9 +146,19 @@ def main():
                     n_cand=nc, angle_deg=angle_deg, margin=mg,
                     pools=pools,
                 )
-                _stats(f"clf@{nc}/m{mg:g}", cls["transform"], gt,
-                       extra=f"overrides {int(cls['n_override'])}  "
-                             f"wall {time.perf_counter() - t0:.0f}s")
+                r = _stats(f"clf@{nc}/m{mg:g}", cls["transform"], gt,
+                           extra=f"overrides {int(cls['n_override'])}  "
+                                 f"wall {time.perf_counter() - t0:.0f}s")
+                if base_rot_err is None:
+                    base_rot_err, _ = evaluate_solution(
+                        base["transform"], jnp.asarray(gt))
+                    base_rot_err = np.asarray(base_rot_err)
+                ov = np.asarray(cls["pick"]) != 0
+                if ov.any():
+                    d = r[ov] - base_rot_err[ov]
+                    print(f"    overrides: {int((d < -1).sum())} improved"
+                          f" >1°, {int((d > 1).sum())} hurt >1°, worst"
+                          f" hurt {d.max():+.1f}°, best {d.min():+.1f}°")
     else:
         print(f"classifier: skipped (no checkpoint at {ckpt})")
 
