@@ -97,16 +97,52 @@ def apply_candidates(src: Array, cand_r: Array, cand_t: Array) -> Array:
     )
 
 
-def make_classifier_scorer(model, variables, micro_batch: int = 32):
+def _tta_rotations(n: int):
+    """Deterministic SO(3) test-time-augmentation set: identity + axis
+    rotations (the classifier trains under joint random rotations of the
+    overlay — PoolCandidateDataset augment=True — so logits are
+    approximately invariant and averaging cancels voxel-grid aliasing
+    noise)."""
+    import numpy as np
+
+    rots = [jnp.eye(3, dtype=jnp.float32)]
+    axes = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                     [1, 1, 0], [0, 1, 1], [1, 0, 1], [1, 1, 1]],
+                    np.float32)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = [np.pi / 2, np.pi, -np.pi / 2] * 3
+    i = 0
+    while len(rots) < n:
+        from houv_tpu.geometry.rotations import rodrigues
+
+        rots.append(rodrigues(
+            jnp.asarray([angles[i % len(angles)]], jnp.float32),
+            jnp.asarray(axes[i % len(axes)][None]))[0])
+        i += 1
+    return jnp.stack(rots[:n])
+
+
+def make_classifier_scorer(model, variables, micro_batch: int = 32,
+                           n_aug: int = 1):
     """Scorer closure over a trained ``AlignmentClassifier``:
     (moved (B, C, N, 3), tgt (B, M, 3), cand_r, cand_t) -> logits (B, C).
 
     Flattens (pair, candidate) into classifier batches and pads the tail
     chunk so exactly one (micro_batch-shaped) program is compiled
-    regardless of B·C."""
+    regardless of B·C. ``n_aug`` > 1 averages logits over that many
+    deterministic joint rotations of the overlay (test-time
+    augmentation; cost scales linearly)."""
 
     @jax.jit
     def _apply(src_moved, tgt):
+        if n_aug > 1:
+            rots = _tta_rotations(n_aug)                 # (A, 3, 3)
+            sm = jnp.einsum("aij,bnj->abni", rots, src_moved)
+            tg = jnp.einsum("aij,bmj->abmi", rots, tgt)
+            logits = jax.vmap(
+                lambda s, t: model.apply(variables, s, t, False)
+            )(sm, tg)                                    # (A, B)
+            return jnp.mean(logits, axis=0)
         return model.apply(variables, src_moved, tgt, False)
 
     def scorer(moved: Array, tgt: Array, cand_r=None, cand_t=None) -> Array:

@@ -134,7 +134,11 @@ def main():
             variables["batch_stats"] = state["batch_stats"]
         model = get_model("alignment_spconv", grid_size=50,
                           compute_dtype="bfloat16")
-        scorer = make_classifier_scorer(model, variables, micro_batch=16)
+        n_aug = int(os.environ.get("RESCORE_TTA", "1"))
+        scorer = make_classifier_scorer(model, variables, micro_batch=16,
+                                        n_aug=n_aug)
+        if n_aug > 1:
+            print(f"test-time augmentation: {n_aug} joint rotations")
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
         # re-solving would double wall and risk a second long dispatch.
         base_r = base_rot_err = None

