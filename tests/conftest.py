@@ -100,6 +100,8 @@ _COMPILE_HEAVY = {
     "test_from_point_voxels_dedupes",
     "test_match_conv_parity_subm",
     "test_shared_query_indices_match_broadcast",
+    "test_cube_lower_bound_validity",
+    "test_bnb_recovers_rotation_with_certificate",
 }
 
 
