@@ -27,6 +27,7 @@ enable_compilation_cache()
 def main():
     npz = sys.argv[1] if len(sys.argv) > 1 else "log/rescore_pool_train.npz"
     nepoch = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    flag = sys.argv[3] if len(sys.argv) > 3 else "rescorer_pool"
 
     z = np.load(npz)
     pairs = z["pair"]
@@ -43,7 +44,7 @@ def main():
     cfg = Config(
         model_name="alignment_spconv", dataset="mvp_rg", num_points=2048,
         batch_size=16, lr=1e-4, nepoch=nepoch, work_dir="log/",
-        flag="rescorer_pool", compute_dtype="bfloat16",
+        flag=flag, compute_dtype="bfloat16",
         epoch_interval_to_val=2, manual_seed=2021,
     )
     trainer = AlignmentTrainer(cfg)
