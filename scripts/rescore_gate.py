@@ -124,19 +124,38 @@ def main():
            extra=f"overrides {int(orc['n_override'])}  "
                  f"wall {time.perf_counter() - t0:.0f}s")
 
-    if ckpt != "none" and os.path.exists(ckpt):
+    ckpts = [c for c in ckpt.split(",") if c != "none"
+             and os.path.exists(c)] if ckpt != "none" else []
+    if ckpts:
         from houv_tpu.models import get_model
         from houv_tpu.train.checkpoint import load_checkpoint
 
-        state = load_checkpoint(ckpt)
-        variables = {"params": state["params"]}
-        if state.get("batch_stats"):
-            variables["batch_stats"] = state["batch_stats"]
         model = get_model("alignment_spconv", grid_size=50,
                           compute_dtype="bfloat16")
         n_aug = int(os.environ.get("RESCORE_TTA", "1"))
-        scorer = make_classifier_scorer(model, variables, micro_batch=16,
-                                        n_aug=n_aug)
+        scorers = []
+        for c in ckpts:
+            state = load_checkpoint(c)
+            variables = {"params": state["params"]}
+            if state.get("batch_stats"):
+                variables["batch_stats"] = state["batch_stats"]
+            scorers.append(make_classifier_scorer(
+                model, variables, micro_batch=16, n_aug=n_aug))
+        if len(scorers) == 1:
+            scorer = scorers[0]
+        else:
+            # checkpoint ensemble: mean logit — independent training
+            # runs disagree exactly on the unreliable overrides, so the
+            # margin gate sees damped confidence there
+            print(f"ensembling {len(scorers)} checkpoints")
+
+            def scorer(moved, tgt, cand_r=None, cand_t=None,
+                       _s=tuple(scorers)):
+                import numpy as _np
+
+                return _np.mean(
+                    [_np.asarray(s(moved, tgt, cand_r, cand_t))
+                     for s in _s], axis=0)
         if n_aug > 1:
             print(f"test-time augmentation: {n_aug} joint rotations")
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
