@@ -144,18 +144,24 @@ def main():
         if len(scorers) == 1:
             scorer = scorers[0]
         else:
-            # checkpoint ensemble: mean logit — independent training
-            # runs disagree exactly on the unreliable overrides, so the
-            # margin gate sees damped confidence there
-            print(f"ensembling {len(scorers)} checkpoints")
+            # checkpoint ensemble. RESCORE_ENSEMBLE: 'mean' averages
+            # logits; 'min' is a veto — an override fires only when EVERY
+            # model clears the margin (a mean lets one model's confident
+            # mistake through — measured, BENCH_NOTES r4)
+            mode = os.environ.get("RESCORE_ENSEMBLE", "mean")
+            print(f"ensembling {len(scorers)} checkpoints ({mode})")
+            red = {"mean": np.mean, "min": np.min}[mode]
 
             def scorer(moved, tgt, cand_r=None, cand_t=None,
-                       _s=tuple(scorers)):
-                import numpy as _np
-
-                return _np.mean(
-                    [_np.asarray(s(moved, tgt, cand_r, cand_t))
-                     for s in _s], axis=0)
+                       _s=tuple(scorers), _red=red):
+                logits = np.stack(
+                    [np.asarray(s(moved, tgt, cand_r, cand_t))
+                     for s in _s])
+                # candidate 0 (the loss pick) keeps its MEAN logit so a
+                # min-reduction cannot weaken the incumbent's defense
+                out = _red(logits, axis=0)
+                out[:, 0] = np.mean(logits[:, :, 0], axis=0)
+                return out
         if n_aug > 1:
             print(f"test-time augmentation: {n_aug} joint rotations")
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
