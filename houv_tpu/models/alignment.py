@@ -59,9 +59,15 @@ class AlignmentClassifier(nn.Module):
     axis_name: str | None = None
     compute_dtype: str | None = None  # bf16 = AMP in the conv trunk
 
+    # optional scalar side-inputs (e.g. the CD-loss gap between a rescore
+    # challenger and the loss pick, solvers/rescore.py) appended to the
+    # pooled feature. New parameters appear only when used, so plain
+    # checkpoints stay loadable by plain models.
+    n_extra: int = 0
+
     @nn.compact
     def __call__(self, src_moved: Array, tgt: Array,
-                 train: bool = False) -> Array:
+                 train: bool = False, extra: Array | None = None) -> Array:
         b = src_moved.shape[0]
         merged = jnp.concatenate([src_moved, tgt], axis=1)  # (B, N1+N2, 3)
         tags = jnp.concatenate(
@@ -87,7 +93,16 @@ class AlignmentClassifier(nn.Module):
                             compute_dtype=dt)(down1, lk1)
         g = masked_max(down2)  # (B, 4c)
         h = nn.relu(nn.Dense(128)(g))
-        return nn.Dense(1)(h)[..., 0]  # logits (B,) f32
+        logit = nn.Dense(1)(h)[..., 0]  # logits (B,) f32
+        if self.n_extra:
+            if extra is None:
+                extra = jnp.zeros((b, self.n_extra), logit.dtype)
+            # zero-init: the geometry logit is untouched until training
+            # moves the side-input weights
+            logit = logit + nn.Dense(
+                1, kernel_init=nn.initializers.zeros,
+            )(extra.astype(logit.dtype))[..., 0]
+        return logit
 
 
 def alignment_bce_loss(logits: Array, labels: Array) -> Array:

@@ -123,37 +123,52 @@ def _tta_rotations(n: int):
 
 
 def make_classifier_scorer(model, variables, micro_batch: int = 32,
-                           n_aug: int = 1):
+                           n_aug: int = 1, use_gap: bool = False):
     """Scorer closure over a trained ``AlignmentClassifier``:
-    (moved (B, C, N, 3), tgt (B, M, 3), cand_r, cand_t) -> logits (B, C).
+    (moved (B, C, N, 3), tgt (B, M, 3), cand_r, cand_t[, cand_loss]) ->
+    logits (B, C).
 
     Flattens (pair, candidate) into classifier batches and pads the tail
     chunk so exactly one (micro_batch-shaped) program is compiled
     regardless of B·C. ``n_aug`` > 1 averages logits over that many
     deterministic joint rotations of the overlay (test-time
-    augmentation; cost scales linearly)."""
+    augmentation; cost scales linearly). ``use_gap`` feeds the relative
+    CD-loss gap vs the loss pick as the model's ``extra`` side input —
+    requires a checkpoint trained with n_extra=1
+    (RESCORE_GAP=1 scripts/train_rescorer_pool.py)."""
 
     @jax.jit
-    def _apply(src_moved, tgt):
+    def _apply(src_moved, tgt, extra):
         if n_aug > 1:
             rots = _tta_rotations(n_aug)                 # (A, 3, 3)
             sm = jnp.einsum("aij,bnj->abni", rots, src_moved)
             tg = jnp.einsum("aij,bmj->abmi", rots, tgt)
             logits = jax.vmap(
-                lambda s, t: model.apply(variables, s, t, False)
+                lambda s, t: model.apply(variables, s, t, False,
+                                         extra=extra)
             )(sm, tg)                                    # (A, B)
             return jnp.mean(logits, axis=0)
-        return model.apply(variables, src_moved, tgt, False)
+        return model.apply(variables, src_moved, tgt, False, extra=extra)
 
-    def scorer(moved: Array, tgt: Array, cand_r=None, cand_t=None) -> Array:
+    def scorer(moved: Array, tgt: Array, cand_r=None, cand_t=None,
+               cand_loss=None) -> Array:
         bsz, c = moved.shape[:2]
         src_moved = moved.reshape(bsz * c, *moved.shape[2:])
         tgt_rep = jnp.repeat(tgt, c, axis=0)
+        if use_gap:
+            if cand_loss is None:
+                raise ValueError("use_gap scorer needs cand_loss")
+            base = jnp.maximum(cand_loss[:, :1], 1e-6)
+            gap = jnp.clip((cand_loss - cand_loss[:, :1]) / base, 0.0, 4.0)
+            extra_rows = gap.reshape(bsz * c, 1).astype(jnp.float32)
+        else:
+            extra_rows = jnp.zeros((bsz * c, 1), jnp.float32)
         q = bsz * c
         outs = []
         for s in range(0, q, micro_batch):
             chunk_s = src_moved[s:s + micro_batch]
             chunk_t = tgt_rep[s:s + micro_batch]
+            chunk_e = extra_rows[s:s + micro_batch]
             pad = micro_batch - chunk_s.shape[0]
             if pad:
                 chunk_s = jnp.concatenate(
@@ -162,7 +177,11 @@ def make_classifier_scorer(model, variables, micro_batch: int = 32,
                 chunk_t = jnp.concatenate(
                     [chunk_t, jnp.broadcast_to(chunk_t[:1],
                                                (pad,) + chunk_t.shape[1:])])
-            logits = _apply(chunk_s, chunk_t)
+                chunk_e = jnp.concatenate(
+                    [chunk_e, jnp.broadcast_to(chunk_e[:1],
+                                               (pad,) + chunk_e.shape[1:])])
+            logits = _apply(chunk_s, chunk_t,
+                            chunk_e if use_gap else None)
             outs.append(logits[:micro_batch - pad] if pad else logits)
         return jnp.concatenate(outs).reshape(bsz, c)
 
@@ -175,7 +194,7 @@ def make_oracle_scorer(gt_transforms):
     candidate-coverage misses from scoring misses)."""
     gt = jnp.asarray(gt_transforms)
 
-    def scorer(moved, tgt, cand_r, cand_t):
+    def scorer(moved, tgt, cand_r, cand_t, cand_loss=None):
         return oracle_logits(cand_r, gt)
 
     return scorer
@@ -261,7 +280,8 @@ def houv_solve_rescored(src: Array, tgt: Array, key: Array,
         pool_loss, pool_r, pool_t, n_cand, angle_deg)
 
     moved = apply_candidates(src, cand_r, cand_t)          # (B, C, N, 3)
-    logits = jnp.asarray(scorer(moved, tgt, cand_r, cand_t))
+    logits = jnp.asarray(
+        scorer(moved, tgt, cand_r, cand_t, cand_loss=cand_loss))
 
     pick = rescore_pick(cand_loss, logits, margin)          # (B,)
     r_best = jnp.take_along_axis(

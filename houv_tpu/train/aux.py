@@ -101,7 +101,8 @@ class PoolCandidateDataset(AlignedPairView):
                  augment: bool = False):
         if isinstance(source, str):
             z = np.load(source)
-            source = {k: z[k] for k in ("src_moved", "tgt", "lbl")}
+            source = {k: z[k] for k in ("src_moved", "tgt", "lbl")
+                      if k in z}
         self.rows = {k: np.asarray(v) for k, v in source.items()}
         self.augment = augment
         lbl = self.rows["lbl"]
@@ -249,8 +250,11 @@ class AlignmentTrainer(_TrainerBase):
             else ds
 
     def _init_args(self, batch):
-        return dict(src_moved=jnp.asarray(batch["src_moved"]),
-                    tgt=jnp.asarray(batch["tgt"]), train=True)
+        kw = dict(src_moved=jnp.asarray(batch["src_moved"]),
+                  tgt=jnp.asarray(batch["tgt"]), train=True)
+        if "extra" in batch:
+            kw["extra"] = jnp.asarray(batch["extra"])
+        return kw
 
     def _make_loss_fn(self, has_bn):
         model = self.model
@@ -262,6 +266,7 @@ class AlignmentTrainer(_TrainerBase):
             out = model.apply(
                 variables,
                 batch["src_moved"], batch["tgt"], True,
+                extra=batch.get("extra"),
                 mutable=["batch_stats"] if has_bn else False,
             )
             if has_bn:
@@ -277,7 +282,8 @@ class AlignmentTrainer(_TrainerBase):
         @jax.jit
         def eval_step(variables, batch):
             logits = self.model.apply(
-                variables, batch["src_moved"], batch["tgt"], False
+                variables, batch["src_moved"], batch["tgt"], False,
+                extra=batch.get("extra"),
             )
             pred = (logits > 0).astype(jnp.float32)
             return {"acc": jnp.mean((pred == batch["lbl"]).astype(

@@ -130,9 +130,13 @@ def main():
         from houv_tpu.models import get_model
         from houv_tpu.train.checkpoint import load_checkpoint
 
+        use_gap = os.environ.get("RESCORE_GAP", "0") == "1"
         model = get_model("alignment_spconv", grid_size=50,
-                          compute_dtype="bfloat16")
+                          compute_dtype="bfloat16",
+                          n_extra=1 if use_gap else 0)
         n_aug = int(os.environ.get("RESCORE_TTA", "1"))
+        if use_gap:
+            print("loss-gap scorer input enabled")
         scorers = []
         for c in ckpts:
             state = load_checkpoint(c)
@@ -140,7 +144,8 @@ def main():
             if state.get("batch_stats"):
                 variables["batch_stats"] = state["batch_stats"]
             scorers.append(make_classifier_scorer(
-                model, variables, micro_batch=16, n_aug=n_aug))
+                model, variables, micro_batch=16, n_aug=n_aug,
+                use_gap=use_gap))
         if len(scorers) == 1:
             scorer = scorers[0]
         else:
@@ -153,9 +158,10 @@ def main():
             red = {"mean": np.mean, "min": np.min}[mode]
 
             def scorer(moved, tgt, cand_r=None, cand_t=None,
-                       _s=tuple(scorers), _red=red):
+                       cand_loss=None, _s=tuple(scorers), _red=red):
                 logits = np.stack(
-                    [np.asarray(s(moved, tgt, cand_r, cand_t))
+                    [np.asarray(s(moved, tgt, cand_r, cand_t,
+                                  cand_loss=cand_loss))
                      for s in _s])
                 # candidate 0 (the loss pick) keeps its MEAN logit so a
                 # min-reduction cannot weaken the incumbent's defense

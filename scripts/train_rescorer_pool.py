@@ -28,6 +28,7 @@ def main():
     npz = sys.argv[1] if len(sys.argv) > 1 else "log/rescore_pool_train.npz"
     nepoch = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     flag = sys.argv[3] if len(sys.argv) > 3 else "rescorer_pool"
+    use_gap = os.environ.get("RESCORE_GAP", "0") == "1"
 
     z = np.load(npz)
     pairs = z["pair"]
@@ -35,6 +36,19 @@ def main():
     val_pairs = set(uniq[:: max(len(uniq) // 10, 1)][:len(uniq) // 10 + 1])
     val_mask = np.isin(pairs, list(val_pairs))
     arrays = {k: z[k] for k in ("src_moved", "tgt", "lbl")}
+    if use_gap:
+        # relative CD-loss gap vs the pair's loss pick (candidate 0 = the
+        # per-pair minimum): the scorer sees how much worse a challenger
+        # fits — a near-tie needs less geometric confidence to override
+        loss = z["cand_loss"]
+        best = np.full_like(loss, np.inf)
+        for pid in uniq:
+            m = pairs == pid
+            best[m] = loss[m].min()
+        gap = np.clip((loss - best) / np.maximum(best, 1e-6), 0.0, 4.0)
+        arrays["extra"] = gap[:, None].astype(np.float32)
+        print(f"loss-gap input enabled: mean {gap.mean():.3f} "
+              f"p90 {np.percentile(gap, 90):.3f}")
     train_rows = {k: v[~val_mask] for k, v in arrays.items()}
     val_rows = {k: v[val_mask] for k, v in arrays.items()}
     print(f"{len(pairs)} rows -> train {len(train_rows['lbl'])} "
@@ -48,6 +62,11 @@ def main():
         epoch_interval_to_val=2, manual_seed=2021,
     )
     trainer = AlignmentTrainer(cfg)
+    if use_gap:
+        from houv_tpu.models import get_model
+
+        trainer.model = get_model("alignment_spconv", grid_size=50,
+                                  compute_dtype="bfloat16", n_extra=1)
     setup_logging(trainer.log_dir)
     train_ds = PoolCandidateDataset(train_rows, balance=True, augment=True)
     # val balanced too: on the raw 1:7 candidate distribution an always-

@@ -256,3 +256,29 @@ def test_classifier_scorer_tta_shapes(rng):
     l3 = np.asarray(tta(src, tgt))
     assert l1.shape == l3.shape == (1, 3)
     assert np.isfinite(l1).all() and np.isfinite(l3).all()
+
+
+def test_classifier_scorer_loss_gap_input(rng):
+    """use_gap feeds the relative CD-loss gap as the model's n_extra
+    side input; zero-init side head means an untrained gap model matches
+    the plain model's logits when all gaps are zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from houv_tpu.models import get_model
+    from houv_tpu.solvers.rescore import make_classifier_scorer
+
+    model = get_model("alignment_spconv", grid_size=12, init_size=4,
+                      n_extra=1)
+    src = jnp.asarray(rng.normal(size=(1, 3, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), src[:, 0], tgt, False)
+    scorer = make_classifier_scorer(model, variables, micro_batch=4,
+                                    use_gap=True)
+    cand_loss = jnp.asarray([[0.01, 0.02, 0.05]], jnp.float32)
+    logits = np.asarray(scorer(src, tgt, None, None, cand_loss=cand_loss))
+    assert logits.shape == (1, 3) and np.isfinite(logits).all()
+    # missing cand_loss must fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        scorer(src, tgt, None, None)
