@@ -9,9 +9,12 @@ full-strength equivalent, redesigned for TPU:
 
 - The distance transform becomes a DENSE distance field on a G³ grid
   (TPU loves dense): exact node-to-cloud distances via one batched
-  pairwise sweep; a nearest-node lookup minus half a cell diagonal is a
-  valid LOWER bound on the true point-to-cloud distance, the same node
-  plus the half diagonal a valid upper bound.
+  pairwise sweep; for a query point x with nearest in-grid node v,
+  f(v) - |x - v| is a valid LOWER bound on the true point-to-cloud
+  distance and f(v) + |x - v| a valid upper bound (reverse triangle
+  inequality through v) — valid for out-of-grid queries too, since the
+  ACTUAL distance to the clipped node is used, not the in-grid
+  half-cell-diagonal cap.
 - The priority queue becomes a FIXED-SIZE cube frontier (K slots, masked)
   advanced level-synchronously: evaluate all cubes' bounds in one
   vmapped/jitted program per level, prune against the incumbent, keep the
@@ -25,7 +28,8 @@ full-strength equivalent, redesigned for TPU:
 Bounds (Go-ICP Lemmas 1-2, restated for the field):
   rotation radius   gamma_i = 2 sin(min(sqrt(3) sigma_r, pi) / 2) |p_i|
   translation radius tau    = sqrt(3) sigma_t
-  per-point LB l_i = max(field_floor(R_c p_i + t_c) - gamma_i - tau, 0)
+  per-point LB l_i = max(f(v_i) - |x_i - v_i| - gamma_i - tau, 0),
+    x_i = R_c p_i + t_c, v_i its nearest in-grid field node
   cube LB  = mean l_i^2   <=  min over cube of E
   cube UB  = mean (field_ceil(...))^2  >=  E(center)
 The objective E(R, t) = mean_i min_j |R p_i + t - q_j|^2 over an FPS
@@ -89,10 +93,20 @@ def build_distance_field(tgt: Array, grid: int = 64,
 
 
 def _field_lookup(field: Array, pts: Array, lo: float, cell: float):
-    """Nearest-node field values for pts (..., 3) -> (...)."""
+    """Nearest-node field value + exact node distance for pts (..., 3).
+
+    Returns (f, d): f is the field at the nearest IN-GRID node (indices
+    clipped), d = |pt - node| the true distance to that node. By the
+    reverse triangle inequality f - d <= dist(pt, cloud) <= f + d for ANY
+    node, so the bounds built from (f, d) stay valid even when pt falls
+    outside [lo, hi]³ (where the r4 half-diagonal slack was invalid —
+    ADVICE r4: a clipped lookup could exceed the true distance and prune
+    the optimum). In-grid, d <= half_diag, so this is also tighter."""
     g = field.shape[-1]
     idx = jnp.clip(jnp.round((pts - lo) / cell).astype(jnp.int32), 0, g - 1)
-    return field[idx[..., 0], idx[..., 1], idx[..., 2]]
+    node = lo + idx.astype(pts.dtype) * cell
+    d = jnp.linalg.norm(pts - node, axis=-1)
+    return field[idx[..., 0], idx[..., 1], idx[..., 2]], d
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +150,6 @@ def goicp_bnb_solve(
     p_norm = jnp.linalg.norm(p, axis=-1)                # (B, n)
 
     field, cell = build_distance_field(tgt, grid, field_lo, field_hi)
-    half_diag = jnp.asarray((3.0 ** 0.5) / 2.0 * cell, dtype)
 
     def exact_e(r, t):
         """Exact objective at (B, 3, 3)/(B, 3): mean min_j |Rp+t-q|²."""
@@ -213,9 +226,9 @@ def goicp_bnb_solve(
         moved = (
             jnp.einsum("bkij,bnj->bkni", r, p) + tr_c[:, :, None, :]
         )                                                # (B, K, n, 3)
-        f = jax.vmap(
+        f, node_d = jax.vmap(
             lambda fb, mb: _field_lookup(fb, mb, field_lo, cell)
-        )(field, moved)                                  # (B, K, n)
+        )(field, moved)                                  # (B, K, n) each
         gamma = (
             2.0
             * jnp.sin(
@@ -224,8 +237,8 @@ def goicp_bnb_solve(
             * p_norm[:, None, :]
         )                                                # (B, K, n)
         tau = (jnp.sqrt(3.0) * sig_t)[..., None]
-        lb_pt = jnp.maximum(f - half_diag - gamma - tau, 0.0)
-        ub_pt = f + half_diag
+        lb_pt = jnp.maximum(f - node_d - gamma - tau, 0.0)
+        ub_pt = f + node_d
         lb = jnp.mean(lb_pt * lb_pt, -1)
         ub = jnp.mean(ub_pt * ub_pt, -1)
         inf = jnp.asarray(jnp.inf, dtype)

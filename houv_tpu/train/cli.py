@@ -151,12 +151,20 @@ def make_rescorer(cfg: Config, log):
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
+    # The loss-gap side head shows up as a third Dense in the checkpoint
+    # (models/alignment.py n_extra branch). Auto-detect it: building a
+    # plain model against a gap-trained checkpoint would silently drop
+    # the trained head (flax ignores unused params — ADVICE r4).
+    has_gap = "Dense_2" in state["params"]
     model = get_model("alignment_spconv", grid_size=cfg.grid_size,
-                      compute_dtype="bfloat16")
-    log.info("rescoring enabled: ckpt=%s n_cand=%d angle=%.1f margin=%.2f",
+                      compute_dtype="bfloat16",
+                      n_extra=1 if has_gap else 0)
+    log.info("rescoring enabled: ckpt=%s n_cand=%d angle=%.1f margin=%.2f "
+             "gap_head=%s tta=%d",
              cfg.rescore_ckpt, cfg.rescore_cands, cfg.rescore_angle,
-             cfg.rescore_margin)
-    return make_classifier_scorer(model, variables, micro_batch=16)
+             cfg.rescore_margin, has_gap, cfg.rescore_tta)
+    return make_classifier_scorer(model, variables, micro_batch=16,
+                                  n_aug=cfg.rescore_tta, use_gap=has_gap)
 
 
 def houv_eval_main(cfg: Config, log) -> dict:
@@ -194,6 +202,12 @@ def houv_eval_main(cfg: Config, log) -> dict:
     bs = max((cfg.batch_size // n_dev) * n_dev, n_dev)
     # clamp to the dataset: batch_size 100 (reference default) over a
     # smaller val split must not mean zero eval iterations
+    if len(ds) < n_dev:
+        raise ValueError(
+            f"val split has {len(ds)} pairs < {n_dev} devices — the eval "
+            "loop would run zero iterations and report averages of "
+            "nothing; shrink n_devices or grow the split"
+        )
     bs = max(min(bs, (len(ds) // n_dev) * n_dev), n_dev)
     key = jax.random.PRNGKey(cfg.manual_seed or 2021)
     scorer = make_rescorer(cfg, log)

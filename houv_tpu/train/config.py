@@ -153,6 +153,10 @@ class Config:
     rescore_cands: int = 16
     rescore_angle: float = 10.0
     rescore_margin: float = 0.0
+    # logit test-time-augmentation rotations (1 = off; measured neutral,
+    # BENCH_NOTES r4) — the loss-gap side head is auto-detected from the
+    # checkpoint itself (train/cli.py:make_rescorer)
+    rescore_tta: int = 1
 
     # parallel
     n_devices: int | None = None

@@ -33,7 +33,11 @@ def main():
     z = np.load(npz)
     pairs = z["pair"]
     uniq = np.unique(pairs)
-    val_pairs = set(uniq[:: max(len(uniq) // 10, 1)][:len(uniq) // 10 + 1])
+    # 10% of pairs (shuffled, fixed seed) for validation — the r4 strided
+    # slice selected a constant ~11 pairs regardless of dataset size
+    # (ADVICE r4), making best-acc checkpoint selection noisy at scale
+    shuffled = np.random.default_rng(2021).permutation(uniq)
+    val_pairs = set(shuffled[: max(len(uniq) // 10, 1)].tolist())
     val_mask = np.isin(pairs, list(val_pairs))
     arrays = {k: z[k] for k in ("src_moved", "tgt", "lbl")}
     if use_gap:

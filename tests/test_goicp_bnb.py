@@ -39,14 +39,38 @@ def test_distance_field_floor_is_lower_bound(rng):
     true_d = jnp.sqrt(
         jnp.min(jnp.sum((qry[:, None] - tgt[0][None]) ** 2, -1), -1)
     )
-    f = _field_lookup(field[0], qry, -1.2, cell)
+    f, node_d = _field_lookup(field[0], qry, -1.2, cell)
     half_diag = np.sqrt(3.0) / 2.0 * cell
-    floor = f - half_diag
-    ceil = f + half_diag
+    floor = f - node_d
+    ceil = f + node_d
     assert bool(jnp.all(floor <= true_d + 1e-5))
     assert bool(jnp.all(ceil >= true_d - 1e-5))
+    # in-grid the node distance never exceeds the half cell diagonal
+    assert bool(jnp.all(node_d <= half_diag + 1e-6))
     # and the floor is not vacuous: it tracks the true distance
     assert float(jnp.mean(jnp.abs(f - true_d))) < 2.0 * half_diag
+
+
+def test_field_bounds_valid_outside_grid(rng):
+    """ADVICE r4 (medium): queries OUTSIDE [lo, hi]³ hit a clipped node;
+    the r4 half-diagonal floor over-estimated there (e.g. 0.346 vs a true
+    distance of 0.10 at x=2.1) and could prune the optimum. The node-
+    distance bounds must stay valid arbitrarily far outside the grid."""
+    tgt = jnp.asarray(_cloud(rng, 64)[None])
+    field, cell = build_distance_field(tgt, grid=24, lo=-1.2, hi=1.2)
+    qry = jnp.asarray(
+        np.concatenate([
+            rng.uniform(1.2, 3.0, (100, 3)),      # fully outside
+            rng.uniform(-3.0, 3.0, (200, 3)),     # mixed in/out
+            np.array([[2.1, 0.0, 0.0]]),          # the advisor's example
+        ]).astype(np.float32)
+    )
+    true_d = jnp.sqrt(
+        jnp.min(jnp.sum((qry[:, None] - tgt[0][None]) ** 2, -1), -1)
+    )
+    f, node_d = _field_lookup(field[0], qry, -1.2, cell)
+    assert bool(jnp.all(f - node_d <= true_d + 1e-5))
+    assert bool(jnp.all(f + node_d >= true_d - 1e-5))
 
 
 def test_cube_lower_bound_validity(rng):
@@ -58,7 +82,6 @@ def test_cube_lower_bound_validity(rng):
     p = jnp.asarray(src)
     tgtj = jnp.asarray(tgt[None])
     field, cell = build_distance_field(tgtj, grid=24, lo=-1.5, hi=1.5)
-    half_diag = np.sqrt(3.0) / 2.0 * cell
     p_norm = np.linalg.norm(src, axis=-1)
 
     for trial in range(20):
@@ -71,10 +94,10 @@ def test_cube_lower_bound_validity(rng):
         r_c = rodrigues(jnp.asarray([ang], jnp.float32),
                         jnp.asarray((rc / max(ang, 1e-9))[None]))[0]
         moved = p @ r_c.T + jnp.asarray(tc)
-        f = _field_lookup(field[0], moved, -1.5, cell)
+        f, node_d = _field_lookup(field[0], moved, -1.5, cell)
         gamma = 2.0 * np.sin(min(np.sqrt(3.0) * sr, np.pi) / 2.0) * p_norm
         tau = np.sqrt(3.0) * st
-        lb_pt = jnp.maximum(f - half_diag - gamma - tau, 0.0)
+        lb_pt = jnp.maximum(f - node_d - gamma - tau, 0.0)
         lb = float(jnp.mean(lb_pt**2))
 
         # random transform inside the cube
