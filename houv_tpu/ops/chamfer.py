@@ -29,6 +29,7 @@ Design (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -495,6 +496,12 @@ def chamfer_indices(a: Array, b: Array, use_pallas: bool | None = None,
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
+    # HOUV_NO_PALLAS=1 (read at trace time) forces the jnp path where one
+    # exists — debugging kill-switch, and how bench.py lowers an
+    # accounting variant whose chamfer FLOPs XLA's cost model can count
+    # (Pallas custom calls are invisible to HLO cost analysis).
+    if os.environ.get("HOUV_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu"
 
 

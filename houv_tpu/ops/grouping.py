@@ -188,8 +188,10 @@ def knn_points(query: Array, ref: Array, k: int,
         # top_k lowers to a full stable sort, and the champion step's
         # mid-size levels ((16, 1536, 768) ≈ 19M) measured 5-7 ms as sorts
         # vs ~1 ms as kernel calls (vrcnet profile, BENCH_NOTES r3 final).
+        from houv_tpu.ops.chamfer import _use_pallas
+
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _use_pallas()  # backend gate + HOUV_NO_PALLAS kill-switch
             and query.shape[0] * query.shape[1] * ref.shape[1] >= 2**23
         )
     dim = query.shape[-1]

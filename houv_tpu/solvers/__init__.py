@@ -8,6 +8,8 @@ from houv_tpu.solvers.rescore import (
     houv_solve_rescored,
     make_classifier_scorer,
     make_oracle_scorer,
+    make_sharded_classifier_scorer,
+    sharded_houv_solve_rescored,
 )
 
 __all__ = [
@@ -16,4 +18,5 @@ __all__ = [
     "build_distance_field", "goicp_bnb_solve",
     "extract_candidates", "houv_candidate_pools", "houv_solve_rescored",
     "make_classifier_scorer", "make_oracle_scorer",
+    "make_sharded_classifier_scorer", "sharded_houv_solve_rescored",
 ]

@@ -128,13 +128,15 @@ def make_trainer(cfg: Config, mesh=None):
     return CompletionTrainer(cfg, mesh=mesh)
 
 
-def make_rescorer(cfg: Config, log):
+def make_rescorer(cfg: Config, log, mesh=None):
     """Classifier scorer from cfg.rescore_ckpt, or None. When set, HOUV
-    solves route through houv_solve_rescored (host-driven chunked,
-    single-device): candidate 0 stays the reference loss pick; a
-    rotation-NMS'd candidate overrides it only when the trained
-    AlignmentClassifier prefers it by cfg.rescore_margin (BENCH_NOTES r4:
-    128-pair gate mean 7.17° -> 3.29°, oracle bound 2.36°)."""
+    solves route through the rescored driver: candidate 0 stays the
+    reference loss pick; a rotation-NMS'd candidate overrides it only
+    when the trained AlignmentClassifier prefers it by cfg.rescore_margin
+    (BENCH_NOTES r4: 256-pair gate mean 5.98° -> 5.14° at margin 2 with
+    zero harmful overrides). With a multi-device ``mesh`` the classifier
+    applications shard over the pair axis (make_sharded_classifier_scorer)
+    so the quality mode rides the mesh like the plain sweep."""
     if not cfg.rescore_ckpt:
         return None
     if not os.path.exists(cfg.rescore_ckpt):
@@ -144,7 +146,10 @@ def make_rescorer(cfg: Config, log):
             "scripts/train_rescorer_pool.py", cfg.rescore_ckpt)
         return None
     from houv_tpu.models import get_model
-    from houv_tpu.solvers.rescore import make_classifier_scorer
+    from houv_tpu.solvers.rescore import (
+        make_classifier_scorer,
+        make_sharded_classifier_scorer,
+    )
     from houv_tpu.train.checkpoint import load_checkpoint
 
     state = load_checkpoint(cfg.rescore_ckpt)
@@ -160,9 +165,17 @@ def make_rescorer(cfg: Config, log):
                       compute_dtype="bfloat16",
                       n_extra=1 if has_gap else 0)
     log.info("rescoring enabled: ckpt=%s n_cand=%d angle=%.1f margin=%.2f "
-             "gap_head=%s tta=%d",
+             "gap_head=%s tta=%d sharded=%s",
              cfg.rescore_ckpt, cfg.rescore_cands, cfg.rescore_angle,
-             cfg.rescore_margin, has_gap, cfg.rescore_tta)
+             cfg.rescore_margin, has_gap, cfg.rescore_tta,
+             mesh is not None and mesh.devices.size > 1)
+    if mesh is not None and mesh.devices.size > 1:
+        # TTA not plumbed through the sharded scorer (measured neutral,
+        # BENCH_NOTES r4); fall through to the host scorer if requested
+        if cfg.rescore_tta <= 1:
+            return make_sharded_classifier_scorer(
+                model, variables, mesh, micro_batch=16, use_gap=has_gap)
+        log.warning("rescore_tta>1 uses the host (single-device) scorer")
     return make_classifier_scorer(model, variables, micro_batch=16,
                                   n_aug=cfg.rescore_tta, use_gap=has_gap)
 
@@ -210,17 +223,19 @@ def houv_eval_main(cfg: Config, log) -> dict:
         )
     bs = max(min(bs, (len(ds) // n_dev) * n_dev), n_dev)
     key = jax.random.PRNGKey(cfg.manual_seed or 2021)
-    scorer = make_rescorer(cfg, log)
+    scorer = make_rescorer(cfg, log, mesh=mesh)
     if scorer is not None:
-        from houv_tpu.solvers.rescore import houv_solve_rescored
+        from houv_tpu.solvers.rescore import sharded_houv_solve_rescored
     t0 = time.time()
     n_done = 0
     for start in range(0, (len(ds) // bs) * bs, bs):
         batch = ds.get_batch(np.arange(start, start + bs))
         if scorer is not None:
-            out = houv_solve_rescored(
+            # rides the mesh: pool solve + extraction + scoring shard
+            # over the pair axis (n_dev=1 degenerates to the host path)
+            out = sharded_houv_solve_rescored(
                 jnp.asarray(batch["src"]), jnp.asarray(batch["tgt"]),
-                jax.random.fold_in(key, start), scfg, scorer,
+                jax.random.fold_in(key, start), mesh, scfg, scorer,
                 n_cand=cfg.rescore_cands, angle_deg=cfg.rescore_angle,
                 margin=cfg.rescore_margin,
             )
@@ -449,11 +464,11 @@ def test_main(argv=None):
         from houv_tpu.solvers import HOUVConfig
         from houv_tpu.solvers.houv import houv_solve_chunked
 
-        scorer = make_rescorer(cfg, log)
-        if scorer is not None:
-            from houv_tpu.solvers.rescore import houv_solve_rescored
         mesh = make_mesh(cfg.n_devices)
         n_dev = mesh.devices.size
+        scorer = make_rescorer(cfg, log, mesh=mesh)
+        if scorer is not None:
+            from houv_tpu.solvers.rescore import sharded_houv_solve_rescored
         scfg = HOUVConfig(
             kernel=cfg.kernel, steps=cfg.num_epochs, lr=cfg.houv_lr,
             retry_threshold=cfg.retry_threshold,
@@ -482,8 +497,8 @@ def test_main(argv=None):
             tgt = jnp.asarray(batch["tgt"])
             ckey = jax.random.fold_in(key, start)
             if scorer is not None:
-                out = houv_solve_rescored(
-                    src, tgt, ckey, scfg, scorer,
+                out = sharded_houv_solve_rescored(
+                    src, tgt, ckey, mesh, scfg, scorer,
                     n_cand=cfg.rescore_cands, angle_deg=cfg.rescore_angle,
                     margin=cfg.rescore_margin,
                 )

@@ -205,3 +205,63 @@ def test_sharded_solve_2d_identical_when_restart_1():
     np.testing.assert_allclose(np.asarray(out1["rmse"]),
                                np.asarray(out2["rmse"]), rtol=2e-4,
                                atol=2e-6)
+
+
+def test_sharded_rescore_matches_host():
+    """VERDICT r4 #5: the classifier-rescored quality mode on the mesh.
+    sharded_houv_solve_rescored (pair-axis sharded pool solve +
+    shard_map'd classifier scoring) must reproduce the host-driven
+    houv_solve_rescored — same pools, same logits, same picks, same
+    transforms — on the 8-device CPU mesh."""
+    from houv_tpu.models import get_model
+    from houv_tpu.solvers.rescore import (
+        houv_solve_rescored,
+        make_classifier_scorer,
+        make_sharded_classifier_scorer,
+        sharded_houv_solve_rescored,
+    )
+
+    data = synthesize_registration_pairs(8, n_points=64, max_angle_deg=60.0,
+                                         seed=41)
+    src = jnp.asarray(data["rotated_src"])
+    tgt = jnp.asarray(data["rotated_tgt"])
+    cfg = HOUVConfig(kernel=8, steps=60, angle_passes=2, use_pallas=False)
+    key = jax.random.PRNGKey(9)
+
+    model = get_model("alignment_spconv", grid_size=12, init_size=4)
+    variables = model.init(jax.random.PRNGKey(0), src, tgt, False)
+    host_scorer = make_classifier_scorer(model, variables, micro_batch=4)
+    host = houv_solve_rescored(src, tgt, key, cfg, host_scorer,
+                               n_cand=4, angle_deg=10.0, margin=0.0)
+
+    mesh = make_mesh()
+    mesh_scorer = make_sharded_classifier_scorer(model, variables, mesh,
+                                                 micro_batch=4)
+    sharded = sharded_houv_solve_rescored(src, tgt, key, mesh, cfg,
+                                          mesh_scorer, n_cand=4,
+                                          angle_deg=10.0, margin=0.0)
+
+    np.testing.assert_allclose(np.asarray(sharded["cand_loss"]),
+                               np.asarray(host["cand_loss"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sharded["cand_logits"]),
+                               np.asarray(host["cand_logits"]),
+                               rtol=2e-4, atol=2e-4)
+    assert np.asarray(sharded["pick"]).tolist() \
+        == np.asarray(host["pick"]).tolist()
+    np.testing.assert_allclose(np.asarray(sharded["transform"]),
+                               np.asarray(host["transform"]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_scorer_rejects_indivisible_batch():
+    from houv_tpu.models import get_model
+    from houv_tpu.solvers.rescore import make_sharded_classifier_scorer
+
+    model = get_model("alignment_spconv", grid_size=12, init_size=4)
+    src = jnp.zeros((4, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), src, src, False)
+    scorer = make_sharded_classifier_scorer(model, variables, make_mesh())
+    moved = jnp.zeros((3, 2, 16, 3))  # 3 pairs on an 8-wide mesh
+    with pytest.raises(ValueError, match="not divisible"):
+        scorer(moved, jnp.zeros((3, 16, 3)))
