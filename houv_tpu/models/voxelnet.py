@@ -281,11 +281,18 @@ def sparse_to_dense(sg: SparseGrid) -> tuple[Array, Array]:
 
 
 def _occ_downsample(occ: Array, stride: tuple[int, int, int]) -> Array:
-    """Occupancy of unique(coords // stride): max-pool with ceil padding."""
-    pads = [(0, -occ.shape[1 + i] % stride[i]) for i in range(3)]
+    """Exact strided-conv site occupancy (kernel 3, padding 1): coarse
+    cell o is occupied iff any input cell in [o·s−1, o·s+1]³ is —
+    mirrors ops/sparse_conv.downsample_sites' exact spconv rule so the
+    hybrid dense levels mask the same sites the sparse levels emit."""
+    pads = []
+    for i in range(3):
+        g = occ.shape[1 + i]
+        og = -(-g // stride[i])
+        pads.append((1, (og - 1) * stride[i] + 2 - g))
     return jax.lax.reduce_window(
         occ, False, jax.lax.bitwise_or,
-        window_dimensions=(1, *stride), window_strides=(1, *stride),
+        window_dimensions=(1, 3, 3, 3), window_strides=(1, *stride),
         padding=[(0, 0), *pads],
     )
 

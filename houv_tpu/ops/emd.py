@@ -116,11 +116,21 @@ def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int,
     if jax.default_backend() == "tpu" and x1.shape[1] == x2.shape[1]:
         # single-kernel auction: whole while_loop in VMEM (ops/emd_kernel.py)
         # — 17.5 ms per 8×2048-pt batch at train settings vs 8.9 s for the
-        # per-round XLA chain below (BENCH_NOTES.md r2)
+        # per-round XLA chain below (BENCH_NOTES.md r2). Eval-grade budgets
+        # (small ε -> thousands of price-war rounds among a few hundred
+        # bidders) switch to compacted K-bidder tail rounds — same auction,
+        # K/N the per-round cost (BENCH_NOTES r4 diagnosed dense rounds as
+        # the reason ε-scaling lost; this removes the dense-round tax:
+        # 542 -> 185 ms per 8x2048 eval batch). K=128/tail_rounds=64 is
+        # pinned by measurement — current Mosaic's codegen quality swings
+        # >100x between static configs of this kernel (BENCH_NOTES r5),
+        # so deviate only with fresh chip numbers.
         from houv_tpu.ops.emd_kernel import emd_auction_pallas
 
+        compact = 128 if (iters >= 500 and phases == 1) else 0
         return emd_auction_pallas(x1, x2, eps, iters, phases=phases,
-                                  theta=theta)
+                                  theta=theta, compact_tail=compact,
+                                  tail_rounds=64)
     # XLA fallback ignores phases: it is the correctness path, and a
     # single fixed-ε run at the requested ε meets the same contract.
     return jax.vmap(lambda a, b: _auction_single(a, b, eps, iters))(x1, x2)

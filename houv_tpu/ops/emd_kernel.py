@@ -45,9 +45,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
+def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref,
+                dsub_ref, *,
                 n_valid: int, iters: int, idx_bits: int, phases: int = 1,
-                theta: float = 0.25):
+                theta: float = 0.25, compact_tail: int = 0,
+                tail_rounds: int = 32):
     """One pair per grid step.
 
     x1_ref/x2_ref: (1, 8, Np/Mp) coordinate-major clouds; eps_ref: (1, 1)
@@ -62,6 +64,17 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
     the same ε-complementary-slackness guarantee as a fixed-ε run — only
     reached in far fewer total rounds (the fixed-ε round count scales
     like max|d|/ε; scaling costs ~N rounds per phase).
+
+    ``compact_tail`` = K > 0 enables the COMPACTED TAIL (r5): dense
+    Jacobi rounds cost O(N·M) regardless of how many bidders remain
+    unassigned — the r4 measured reason ε-scaling lost here while the
+    eval setting burned ~2000 rounds of price war among a few hundred
+    bidders (BENCH_NOTES r4). Once ≤ K bidders are unassigned, rounds
+    restrict to a compacted (K, M) bid matrix rebuilt every
+    ``tail_rounds`` rounds: the same auction (any fair bidder schedule
+    preserves ε-CS convergence — Bertsekas' asynchronous auction), at
+    K/N the per-round cost. Bidders evicted by tail bids outside the
+    compact set are picked up at the next rebuild. Requires phases == 1.
     """
     np_ = dmat_ref.shape[0]
     mp = dmat_ref.shape[1]
@@ -107,10 +120,15 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
         )
 
     def body(state):
-        it, owner, price, n_unass, eps_p = state
+        it, owner, price, assigned, n_unass, eps_p = state
         # owner (1, Mp) int32 bidder-per-item (-1 = unowned);
-        # price (1, Mp) f32 >= 0; n_unass traced scalar; eps_p the
-        # phase's bid increment (== eps when phases == 1).
+        # price (1, Mp) f32 >= 0; assigned (Np, 1) 0/1 per bidder,
+        # maintained INCREMENTALLY — the r4 body recomputed it each round
+        # from owner.T, and that lane->sublane relayout + (Mp, Np)
+        # membership compare is exactly what current Mosaic lowers
+        # catastrophically (a fresh compile ran ~140x slower per round
+        # than the r2 binary; the relayout-free body recovers it);
+        # eps_p the phase's bid increment (== eps when phases == 1).
         d = dmat_ref[:, :]
         value = -d - price  # (Np, Mp), <= 0
         kv = pack_leq0(value, low - col_i)
@@ -122,16 +140,10 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
                          keepdims=True)                    # (Np, 1)
         inc = best - better + eps_p                        # (Np, 1) > 0
 
-        # membership: bidder i is assigned iff some item's owner == i
-        assigned = jnp.max(
-            jnp.where(owner.T == bidder_i, 1, 0), axis=0, keepdims=True
-        )                                                  # (1, Np)
-        unass_col = assigned.T == 0                        # (Np, 1)
-
         # bids: unassigned bidders bid inc on their best item; packed as
         # -inc (<= 0) so the same order map applies; column max elects the
         # winning (largest-inc, smallest-row) bid per item
-        bid_ok = jnp.logical_and(onehot, unass_col)
+        bid_ok = jnp.logical_and(onehot, assigned == 0)
         kb = jnp.where(
             bid_ok,
             pack_leq0(jnp.broadcast_to(-inc, (np_, mp)), low - row_i),
@@ -144,24 +156,199 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
         win_inc = -pltpu.bitcast(
             jnp.bitwise_and(win, ~jnp.int32(low)) ^ order_flip, jnp.float32
         )
+        prev_owner = owner
         owner = jnp.where(has_winner, win_row, owner)
         price = jnp.where(has_winner, price + win_inc, price)
 
-        assigned2 = jnp.max(
-            jnp.where(owner.T == bidder_i, 1, 0), axis=0, keepdims=True
-        )
-        n_unass = jnp.sum(1 - assigned2)
-        return it + 1, owner, price, n_unass, eps_p
+        # incremental membership (both passes lane-parallel, no .T):
+        # winners set their flag, this round's evicted owners clear it.
+        # Disjoint by construction: only unassigned rows bid (can't be
+        # evicted — they own nothing); assigned rows don't bid.
+        won_row = jnp.max(
+            jnp.where(jnp.logical_and(has_winner, row_i == win_row), 1, 0),
+            axis=1, keepdims=True,
+        )                                                  # (Np, 1)
+        evicted_row = jnp.max(
+            jnp.where(
+                jnp.logical_and(
+                    jnp.logical_and(has_winner, row_i == prev_owner),
+                    win_row != prev_owner,
+                ),
+                1, 0,
+            ),
+            axis=1, keepdims=True,
+        )                                                  # (Np, 1)
+        assigned = jnp.maximum(assigned - evicted_row, won_row)
+        n_unass = jnp.int32(np_) - jnp.sum(assigned)
+        return it + 1, owner, price, assigned, n_unass, eps_p
 
     def cond(state):
-        it, _, _, n_unass, _ = state
+        it, _, _, _, n_unass, _ = state
         return jnp.logical_and(it < iters, n_unass > 0)
 
     no_owner = jnp.full((1, mp), -1, jnp.int32)
     zero_price = jnp.zeros((1, mp), jnp.float32)
-    if phases == 1:
-        init = (jnp.int32(0), no_owner, zero_price, jnp.int32(np_), eps)
-        _, owner, _, _, _ = jax.lax.while_loop(cond, body, init)
+    none_assigned = jnp.zeros((np_, 1), jnp.int32)
+    if phases == 1 and compact_tail:
+        k_sub = compact_tail
+
+        def dense_cond(state):
+            it, _, _, _, n_unass, _ = state
+            return jnp.logical_and(it < iters, n_unass > k_sub)
+
+        init = (jnp.int32(0), no_owner, zero_price, none_assigned,
+                jnp.int32(np_), eps)
+        it0, owner, price, _, _, _ = jax.lax.while_loop(dense_cond, body,
+                                                        init)
+
+        # ---- compacted tail ------------------------------------------
+        k_row = jax.lax.broadcasted_iota(jnp.int32, (k_sub, mp), 0)
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (k_sub, mp), 1)
+        k_rowN = jax.lax.broadcasted_iota(jnp.int32, (k_sub, np_), 0)
+        k_colN = jax.lax.broadcasted_iota(jnp.int32, (k_sub, np_), 1)
+        # hierarchical 0/1 cumsum (no cumsum primitive in Mosaic): the
+        # (1, Np) mask reshapes to (G, LANE); in-row ranks come from a
+        # LANE×LANE inclusive-triangle matmul, row offsets from a G×G one
+        g_rows = np_ // _LANE
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+        ).astype(jnp.float32)
+        tri_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_rows), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_rows), 1)
+        ).astype(jnp.float32)
+
+        def rebuild(owner, price):
+            """-> (n_unass, gidx (K,1), sub dmat written to dsub_ref)."""
+            member = owner.T == bidder_i                   # (Mp, Np)
+            assigned = jnp.max(jnp.where(member, 1, 0), axis=0,
+                               keepdims=True)              # (1, Np)
+            unass = (1 - assigned).astype(jnp.float32)
+            n_unass = jnp.sum(unass).astype(jnp.int32)
+            u = unass.reshape(g_rows, _LANE)
+            in_row = jax.lax.dot(u, tri,
+                                 preferred_element_type=jnp.float32)
+            row_tot = jnp.sum(u, axis=1, keepdims=True)    # (G, 1)
+            offs = jax.lax.dot(tri_g.T, row_tot,
+                               preferred_element_type=jnp.float32)
+            rank = (in_row + offs).reshape(1, np_) - unass  # exclusive
+            rank_i = rank.astype(jnp.int32)
+            sel = jnp.logical_and(unass > 0.5, rank_i < k_sub)  # (1, Np)
+            onehot_k = jnp.logical_and(sel, rank_i == k_rowN)   # (K, Np)
+            gidx = jnp.max(jnp.where(onehot_k, k_colN, -1), axis=1,
+                           keepdims=True)                  # (K, 1)
+            # compact bidder coords via masked lane-sums (exact: one-hot)
+            c0 = jnp.sum(jnp.where(onehot_k, x1[0:1, :], 0.0), axis=1,
+                         keepdims=True)
+            c1 = jnp.sum(jnp.where(onehot_k, x1[1:2, :], 0.0), axis=1,
+                         keepdims=True)
+            c2 = jnp.sum(jnp.where(onehot_k, x1[2:3, :], 0.0), axis=1,
+                         keepdims=True)
+            dsub = (
+                jnp.square(c0 - x2[0:1, :])
+                + jnp.square(c1 - x2[1:2, :])
+                + jnp.square(c2 - x2[2:3, :])
+            )                                              # (K, Mp)
+            # padding rules, re-derived for the compact rows (pad bidders
+            # pair freely with their own diagonal item, nothing else)
+            pad_any = jnp.logical_or(gidx >= n_valid, k_col >= n_valid)
+            dsub = jnp.where(pad_any, jnp.float32(4e18), dsub)
+            dsub = jnp.where(jnp.logical_and(pad_any, k_col == gidx),
+                             0.0, dsub)
+            dsub = jnp.where(gidx < 0, jnp.float32(4e18), dsub)
+            dsub_ref[:, :] = dsub
+            return n_unass, gidx
+
+        def tail_body(state):
+            t, owner, price, gidx, sub_unass, n_sub = state
+            dsk = dsub_ref[:, :]
+            value = -dsk - price                           # (K, Mp)
+            kv = pack_leq0(value, low - k_col)
+            rowmax = jnp.max(kv, axis=1, keepdims=True)
+            onehot = kv == rowmax
+            best = jnp.max(jnp.where(onehot, value, -jnp.inf), axis=1,
+                           keepdims=True)
+            better = jnp.max(jnp.where(onehot, -jnp.inf, value), axis=1,
+                             keepdims=True)
+            inc = best - better + eps                      # (K, 1)
+            bid_ok = jnp.logical_and(onehot, sub_unass > 0)
+            kb = jnp.where(
+                bid_ok,
+                pack_leq0(jnp.broadcast_to(-inc, (k_sub, mp)),
+                          low - k_row),
+                neg_inf,
+            )
+            win = jnp.max(kb, axis=0, keepdims=True)       # (1, Mp)
+            has_winner = win > neg_inf
+            win_k = low - jnp.bitwise_and(win, low)        # (1, Mp)
+            win_inc = -pltpu.bitcast(
+                jnp.bitwise_and(win, ~jnp.int32(low)) ^ order_flip,
+                jnp.float32,
+            )
+            woh = jnp.logical_and(k_row == win_k, has_winner)  # (K, Mp)
+            win_global = jnp.max(jnp.where(woh, gidx, -1), axis=0,
+                                 keepdims=True)            # (1, Mp)
+            take = jnp.logical_and(has_winner, win_global >= 0)
+            prev_owner = owner
+            owner = jnp.where(take, win_global, owner)
+            price = jnp.where(take, price + win_inc, price)
+            # subset bookkeeping: winners leave the unassigned set; subset
+            # members evicted by this round's takes re-enter it
+            won_k = jnp.max(jnp.where(woh, 1, 0), axis=1, keepdims=True)
+            # gidx >= 0 guard: empty slots carry gidx = -1, which would
+            # otherwise match unowned items' prev_owner = -1 and turn a
+            # dead slot into a garbage bidder
+            evicted_k = jnp.max(
+                jnp.where(
+                    jnp.logical_and(
+                        jnp.logical_and(take, prev_owner == gidx),
+                        jnp.logical_and(win_global != prev_owner,
+                                        gidx >= 0),
+                    ),
+                    1, 0,
+                ),
+                axis=1, keepdims=True,
+            )                                              # (K, 1)
+            sub_unass = jnp.maximum(sub_unass - won_k, evicted_k)
+            n_sub = jnp.sum(sub_unass)
+            return t + 1, owner, price, gidx, sub_unass, n_sub
+
+        def tail_cond(state):
+            t, _, _, _, _, n_sub = state
+            return jnp.logical_and(t < tail_rounds, n_sub > 0)
+
+        def outer_body(state):
+            it, owner, price, _ = state
+            n_unass, gidx = rebuild(owner, price)
+
+            def run(_):
+                sub0 = jnp.where(gidx >= 0, 1, 0)          # (K, 1)
+                t, owner2, price2, _, _, _ = jax.lax.while_loop(
+                    tail_cond,
+                    tail_body,
+                    (jnp.int32(0), owner, price, gidx, sub0,
+                     jnp.sum(sub0)),
+                )
+                return t, owner2, price2
+
+            t, owner, price = jax.lax.cond(
+                n_unass > 0, run, lambda _: (jnp.int32(0), owner, price),
+                None,
+            )
+            return it + jnp.maximum(t, 1), owner, price, n_unass
+
+        def outer_cond(state):
+            it, _, _, n_unass = state
+            return jnp.logical_and(it < iters, n_unass > 0)
+
+        _, owner, _, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (it0, owner, price, jnp.int32(np_))
+        )
+    elif phases == 1:
+        init = (jnp.int32(0), no_owner, zero_price, none_assigned,
+                jnp.int32(np_), eps)
+        _, owner, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     else:
         # ε-scaling: each phase restarts the assignment but keeps prices;
         # the last phase runs at the requested ε. The per-phase ε rides
@@ -169,8 +356,9 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
         # math.powf, which Mosaic cannot legalize).
         def run_phase(p, carry):
             _, price, eps_p = carry
-            init = (jnp.int32(0), no_owner, price, jnp.int32(np_), eps_p)
-            _, owner, price, _, _ = jax.lax.while_loop(cond, body, init)
+            init = (jnp.int32(0), no_owner, price, none_assigned,
+                    jnp.int32(np_), eps_p)
+            _, owner, price, _, _, _ = jax.lax.while_loop(cond, body, init)
             return owner, price, eps_p * theta
 
         eps0 = eps * float(theta) ** -(phases - 1)
@@ -201,22 +389,29 @@ def _emd_kernel(x1_ref, x2_ref, eps_ref, assign_ref, dist_ref, dmat_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "interpret", "phases", "theta")
+    jax.jit, static_argnames=("iters", "interpret", "phases", "theta",
+                              "compact_tail", "tail_rounds")
 )
 def emd_auction_pallas(x1: Array, x2: Array, eps: float | Array = 0.005,
                        iters: int = 50, interpret: bool = False,
-                       phases: int = 1, theta: float = 0.25):
+                       phases: int = 1, theta: float = 0.25,
+                       compact_tail: int = 0, tail_rounds: int = 32):
     """(B, N, 3) × (B, N, 3) -> (dist (B, N), assignment (B, N)).
 
     ``phases`` > 1 = ε-scaling (see _emd_kernel): same final-ε guarantee,
     far fewer rounds at small ε. ``iters`` caps EACH phase (early exit
-    makes the cap slack)."""
+    makes the cap slack). ``compact_tail`` = K > 0 switches to K-bidder
+    compacted rounds once ≤ K bidders remain unassigned (the eval-grade
+    accelerator; see _emd_kernel)."""
     bsz, n, _ = x1.shape
     m = x2.shape[1]
     if n != m:
         raise ValueError("auction EMD requires n == m")
+    if compact_tail and phases != 1:
+        raise ValueError("compact_tail requires phases == 1")
     np_ = _round_up(n, _LANE)
     idx_bits = int(np_ - 1).bit_length()
+    k_eff = min(_round_up(compact_tail, 8), np_) if compact_tail else 0
 
     x1t = jnp.swapaxes(x1.astype(jnp.float32), 1, 2)
     x1t = jnp.pad(x1t, ((0, 0), (0, 8 - 3), (0, np_ - n)))
@@ -227,7 +422,8 @@ def emd_auction_pallas(x1: Array, x2: Array, eps: float | Array = 0.005,
     assignment, dist = pl.pallas_call(
         functools.partial(
             _emd_kernel, n_valid=n, iters=iters, idx_bits=idx_bits,
-            phases=phases, theta=theta,
+            phases=phases, theta=theta, compact_tail=k_eff,
+            tail_rounds=tail_rounds,
         ),
         grid=(bsz,),
         in_specs=[
@@ -248,7 +444,10 @@ def emd_auction_pallas(x1: Array, x2: Array, eps: float | Array = 0.005,
             jax.ShapeDtypeStruct((bsz, 1, np_), jnp.int32),
             jax.ShapeDtypeStruct((bsz, 1, np_), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((np_, np_), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((np_, np_), jnp.float32),
+            pltpu.VMEM((max(k_eff, 8), np_), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),

@@ -16,10 +16,11 @@ Cout) matmul on the MXU. All shapes static; everything jit/vmap-friendly.
 - ``subm_conv``: submanifold conv (output sites = input sites), matching
   spconv.SubMConv3d with arbitrary factorized kernels ((1,3,3), (3,1,3), …).
 - ``sparse_conv_down``: strided (2,2,2)/(2,2,1) sparse conv, kernel 3,
-  padding 1; output sites are the unique floor-divided input sites (covers
-  every site that receives the center tap; a site reachable only through
-  an edge tap of an odd coordinate is dropped — negligible on these dense
-  50³ point grids, and the fixed-capacity list keeps shapes static).
+  padding 1; output sites follow the EXACT spconv rule (every coarse site
+  whose 3³ window touches an input site — see ``downsample_sites``; the
+  r1-r4 floor-divide approximation undercounted sites by ~37% on
+  voxelized partial clouds and was fixed in r5 at zero cost, the
+  fixed-capacity list keeping shapes static either way).
 """
 
 from __future__ import annotations
@@ -507,34 +508,64 @@ def sparse_conv_down(
     weights: Array,
     stride: tuple[int, int, int] = (2, 2, 2),
     compute_dtype=None,
+    out_capacity: int | None = None,
 ) -> SparseGrid:
     """Strided sparse conv (kernel 3, padding 1): downsample to
-    grid_size' = ceil(G / stride) with output sites = unique(coords //
-    stride) (spconv.SparseConv3d analogue; see module docstring for the
-    coverage caveat). weights: (27, Cin, Cout)."""
-    out_coords, out_mask, out_g = downsample_sites(sg, stride)
+    grid_size' = ceil(G / stride) with the exact spconv.SparseConv3d
+    output-site rule (see ``downsample_sites``). weights:
+    (27, Cin, Cout)."""
+    out_coords, out_mask, out_g = downsample_sites(sg, stride, out_capacity)
     out_feats = sparse_conv_down_features(
         sg, lookup, weights, out_coords, out_mask, stride, compute_dtype
     )
     return SparseGrid(out_feats, out_coords, out_mask, out_g)
 
 
-def downsample_sites(sg: SparseGrid, stride: tuple[int, int, int]):
-    """(out_coords (B, V, 3), out_mask (B, V), out_grid_size): the unique
-    floor-divided coarse sites, packed. Integer-only — separated from the
-    feature computation so the conv body can sit under ``jax.checkpoint``
-    without recomputing the dedupe."""
+def downsample_sites(sg: SparseGrid, stride: tuple[int, int, int],
+                     out_capacity: int | None = None):
+    """(out_coords (B, V, 3), out_mask (B, V), out_grid_size): the EXACT
+    spconv output sites of a kernel-3 / padding-1 strided conv, packed.
+    Integer-only — separated from the feature computation so the conv
+    body can sit under ``jax.checkpoint`` without recomputing the dedupe.
+
+    Exact rule (utils/mm3d_pn2/ops/spconv/ops.py:46-174 semantics):
+    output site o covers input c iff o·s − 1 ≤ c ≤ o·s + 1 per dim, so
+    each input contributes o ∈ {c>>1} ∪ {c>>1 + 1 if c odd} on stride-2
+    dims and o ∈ {c−1, c, c+1} on stride-1 dims. The r1-r4 version kept
+    only unique(c // s) — the center-ish taps — which measured as a
+    **37% site undercount** on voxelized MVP-like partial clouds
+    (BENCH_NOTES r5; the "negligible on dense grids" assumption does not
+    hold on sparse surface shells). The feature paths were always
+    site-list-agnostic, so exact coverage costs nothing: shapes stay
+    (B, V) fixed-capacity. ``out_capacity`` overrides the output row
+    capacity (default: the input's V). If the exact site count exceeds
+    it, the highest flat ids are dropped deterministically — never hit
+    at MVP scale (~760 sites vs V = 2048), but reachable on tiny grids
+    where dilation multiplies few input rows."""
     g = sg.grid_size
-    v = sg.coords.shape[1]
-    s = jnp.array(stride, jnp.int32)
+    v = out_capacity or sg.coords.shape[1]
     # Single cubic extent covering all (possibly anisotropic-stride) dims.
     out_g = max(-(-g // stride[i]) for i in range(3))
+    dims_ext = [-(-g // stride[i]) for i in range(3)]
 
-    out_coords_all = sg.coords // s  # (B, V, 3) candidate coarse coords
-    flat = (
-        out_coords_all[..., 0] * out_g + out_coords_all[..., 1]
-    ) * out_g + out_coords_all[..., 2]
-    flat = jnp.where(sg.mask, flat, out_g**3)
+    cands = [range(2) if stride[i] == 2 else range(3) for i in range(3)]
+    flats = []
+    for combo in itertools.product(*cands):
+        o_dims = []
+        valid = sg.mask
+        for i, e in enumerate(combo):
+            ci = sg.coords[..., i]
+            if stride[i] == 2:
+                o = (ci >> 1) + e
+                if e:  # the +1 site is reachable only from odd coords
+                    valid = valid & ((ci & 1) == 1) & (o < dims_ext[i])
+            else:  # stride-1 dim: kernel 3 dilates ±1
+                o = ci + (e - 1)
+                valid = valid & (o >= 0) & (o < dims_ext[i])
+            o_dims.append(o)
+        f = (o_dims[0] * out_g + o_dims[1]) * out_g + o_dims[2]
+        flats.append(jnp.where(valid, f, out_g**3))
+    flat = jnp.stack(flats, axis=-1).reshape(sg.coords.shape[0], -1)
 
     def dedupe(f):
         num = out_g**3

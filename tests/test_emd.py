@@ -156,3 +156,55 @@ def test_emd_auction_phases_public_api(rng):
     g1, g2 = jax.grad(loss, argnums=(0, 1))(x1, x2)
     assert float(jnp.abs(g1).sum()) > 0
     assert float(jnp.abs(g2).sum()) == 0
+
+
+def test_pallas_compact_tail_matches_dense(rng):
+    """compact_tail rounds preserve the auction contract: assignment is a
+    bijection, per-pair distances exact, and total cost within the dense
+    fixed-eps run's quality (both are eps-CS certificates at the same
+    eps — Bertsekas' asynchronous auction admits any fair bidder
+    schedule, which the rebuild loop provides)."""
+    from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+    x1 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 128, 3)).astype(np.float32)
+    j1, j2 = jnp.asarray(x1), jnp.asarray(x2)
+    d_c, a_c = emd_auction_pallas(j1, j2, 0.002, 4000, interpret=True,
+                                  compact_tail=32, tail_rounds=16)
+    d_d, a_d = emd_auction_pallas(j1, j2, 0.002, 4000, interpret=True)
+    exact = _hungarian_emd(x1, x2)
+    approx = np.asarray(d_c).mean(axis=1)
+    # eps-CS bound: mean cost within n*eps of optimal (loose: 0.01)
+    assert (approx <= exact + 0.01).all()
+    assert (approx >= exact - 1e-6).all()
+    # same certificate class as the dense run
+    assert (approx <= np.asarray(d_d).mean(axis=1) + 0.005).all()
+    for b in range(2):
+        assert len(np.unique(np.asarray(a_c[b]))) == 128
+    diff = j1 - jnp.take_along_axis(j2, a_c[..., None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray((diff ** 2).sum(-1)), np.asarray(d_c), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_pallas_compact_tail_identity(rng):
+    """Identity matching survives the compacted tail (every bidder's best
+    item is distinct — the tail only sees stragglers)."""
+    from houv_tpu.ops.emd_kernel import emd_auction_pallas
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 3)).astype(np.float32))
+    perm = rng.permutation(128)
+    d, a = emd_auction_pallas(x, x[:, perm], 0.002, 2000, interpret=True,
+                              compact_tail=32)
+    assert float(d.mean()) < 1e-4
+
+
+def test_emd_eval_auto_compact_gate(rng, monkeypatch):
+    """_emd_fwd_impl routes eval-grade iters to the compacted kernel on
+    TPU only; the CPU/XLA fallback stays on the dense auction (checked
+    indirectly: CPU result is permutation-valid at eval settings)."""
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 96, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(0, 1, (1, 96, 3)).astype(np.float32))
+    d, a = emd_auction(x1, x2, 0.002, 3000)
+    assert len(np.unique(np.asarray(a[0]))) == 96

@@ -77,20 +77,70 @@ def test_subm_conv_matches_dense(rng):
         np.testing.assert_allclose(ours_dense, dense_out, rtol=1e-3, atol=1e-4)
 
 
+def _exact_spconv_sites(coords, stride, g):
+    """Brute-force exact spconv (kernel 3, padding 1) output-site rule:
+    o is a site iff some input c satisfies o*s-1 <= c <= o*s+1 per dim."""
+    import itertools as it
+
+    dims_ext = [-(-g // stride[i]) for i in range(3)]
+    sites = set()
+    for c in coords:
+        opts = []
+        for i in range(3):
+            if stride[i] == 2:
+                o = [c[i] // 2] + ([c[i] // 2 + 1] if c[i] % 2 else [])
+            else:
+                o = [c[i] - 1, c[i], c[i] + 1]
+            opts.append([x for x in o if 0 <= x < dims_ext[i]])
+        sites |= set(it.product(*opts))
+    return sites
+
+
 def test_sparse_down_halves_grid(rng):
     sg = _random_sparse(rng, b=1, n=30, g=8, c=4)
     w = jnp.asarray(rng.standard_normal((27, 4, 6)).astype(np.float32) * 0.3)
     lk = build_lookup(sg)
-    out = sparse_conv_down(sg, lk, w, (2, 2, 2))
+    # tiny fixture: dilation can exceed the 30-row input capacity, so give
+    # the output room (MVP-scale grids sit far below their 2048 capacity)
+    out = sparse_conv_down(sg, lk, w, (2, 2, 2), out_capacity=128)
     assert out.grid_size == 4
     coords = np.asarray(out.coords)[np.asarray(out.mask)]
     assert (coords >= 0).all() and (coords < 4).all()
-    # output sites = unique floor-divided input sites
-    in_coarse = {
-        tuple(c // 2) for c in np.asarray(sg.coords)[np.asarray(sg.mask)]
-    }
+    # output sites = the exact spconv rule (VERDICT r4 #7: the
+    # floor-divide approximation undercounted ~37% on realistic clouds)
+    in_sites = _exact_spconv_sites(
+        np.asarray(sg.coords)[np.asarray(sg.mask)], (2, 2, 2), 8)
     out_sites = {tuple(c) for c in coords}
-    assert out_sites == in_coarse
+    assert out_sites == in_sites
+
+
+def test_sparse_down_capacity_overflow_deterministic(rng):
+    """Site overflow past the fixed capacity drops the HIGHEST flat ids
+    deterministically (documented contract; MVP shapes never hit it)."""
+    from houv_tpu.ops.sparse_conv import downsample_sites
+
+    sg = _random_sparse(rng, b=1, n=30, g=8, c=4)
+    full_c, full_m, _ = downsample_sites(sg, (2, 2, 2), out_capacity=128)
+    full = [tuple(c) for c in np.asarray(full_c)[0][np.asarray(full_m)[0]]]
+    cap = 16
+    cut_c, cut_m, _ = downsample_sites(sg, (2, 2, 2), out_capacity=cap)
+    cut = [tuple(c) for c in np.asarray(cut_c)[0][np.asarray(cut_m)[0]]]
+    assert len(cut) == cap
+    # kept rows are exactly the lowest-raster-id prefix of the full list
+    assert cut == sorted(full)[:cap]
+
+
+def test_sparse_down_exact_sites_anisotropic(rng):
+    """Exact-site parity for the (2,2,1) stride incl. the z dilation."""
+    sg = _random_sparse(rng, b=2, n=25, g=8, c=4)
+    w = jnp.asarray(rng.standard_normal((27, 4, 4)).astype(np.float32) * 0.3)
+    out = sparse_conv_down(sg, build_lookup(sg), w, (2, 2, 1),
+                           out_capacity=192)
+    for b in range(2):
+        coords = np.asarray(out.coords)[b][np.asarray(out.mask)[b]]
+        exact = _exact_spconv_sites(
+            np.asarray(sg.coords)[b][np.asarray(sg.mask)[b]], (2, 2, 1), 8)
+        assert {tuple(c) for c in coords} == exact
 
 
 def test_masked_max_ignores_padding(rng):
