@@ -127,7 +127,13 @@ def _emd_fwd_impl(x1: Array, x2: Array, eps: float, iters: int,
         # so deviate only with fresh chip numbers.
         from houv_tpu.ops.emd_kernel import emd_auction_pallas
 
-        compact = 128 if (iters >= 500 and phases == 1) else 0
+        # Measurement-pinned configs (BENCH_NOTES r5): eval-grade budgets
+        # K=128 (8x2048: 542 -> 181 ms), train-grade K=96 (11.7 ms, also
+        # beats the r2 dense binary's 12.5). Both survive the current
+        # toolchain's per-config codegen lottery; neighboring configs
+        # (K=128 at iters=50, K=256, dense at iters<=300) compile into
+        # binaries 100-5000x slower. Deviate only with fresh chip numbers.
+        compact = (128 if iters >= 500 else 96) if phases == 1 else 0
         return emd_auction_pallas(x1, x2, eps, iters, phases=phases,
                                   theta=theta, compact_tail=compact,
                                   tail_rounds=64)
