@@ -290,7 +290,11 @@ def bench_houv_quality():
     tgt = jnp.asarray(data["rotated_tgt"])
     gt = jnp.asarray(data["transforms"])
     key = jax.random.PRNGKey(3)
-    pools = houv_candidate_pools(src, tgt, key, cfg)
+    # step_chunk pinned to a measured-good segment compile (the current
+    # toolchain's codegen lottery landed 6-8x-slow binaries on the
+    # default-100 B=128 segment set — BENCH_NOTES r5 EMD section has the
+    # full story; 105 measured 195 s warm for this solve)
+    pools = houv_candidate_pools(src, tgt, key, cfg, step_chunk=105)
 
     def zeros_scorer(moved, tgt, cand_r=None, cand_t=None, cand_loss=None):
         return jnp.zeros(moved.shape[:2], jnp.float32)

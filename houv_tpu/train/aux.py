@@ -307,6 +307,13 @@ class AlignmentTrainer(_TrainerBase):
         import logging
 
         logging.getLogger("houv_tpu").info("val: align_acc %.4f", meter.avg)
+        # optional deployed-decision-rule gate (set by the training
+        # script): balanced-val acc saturates ~0.99 while margin-gated
+        # override behavior still varies run to run (BENCH_NOTES r4), so
+        # rescorer training selects a second checkpoint on override
+        # precision over held-out candidate pools
+        if getattr(self, "override_gate", None) is not None:
+            self.override_gate(self._variables(), epoch)
         return {"acc": meter.avg}
 
 

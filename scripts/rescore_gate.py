@@ -105,7 +105,22 @@ def main():
           f"margin {margin}")
 
     t0 = time.perf_counter()
-    pools = houv_candidate_pools(src, tgt, key, cfg)
+    # chunk the pool solve at 128 pairs: the B=128 segment binaries are
+    # the bench-validated good compiles (~1 s/pair); other batch shapes
+    # can land 6-8x slower in the current toolchain's codegen lottery
+    # (BENCH_NOTES r5). Pool tensors concat along the pair axis.
+    chunk = int(os.environ.get("GATE_CHUNK", "128"))
+    sc = int(os.environ.get("GATE_STEP_CHUNK", "105"))  # measured-good
+    if n > chunk and n % chunk == 0:
+        parts = [houv_candidate_pools(src[s:s + chunk], tgt[s:s + chunk],
+                                      key, cfg, step_chunk=sc)
+                 for s in range(0, n, chunk)]
+        pools = tuple(
+            jnp.concatenate([p[i] for p in parts], axis=0)
+            for i in range(3)
+        ) + (sum(int(p[3]) for p in parts),)
+    else:
+        pools = houv_candidate_pools(src, tgt, key, cfg, step_chunk=sc)
     print(f"solve wall {time.perf_counter() - t0:.0f}s  "
           f"retries {pools[3]}")
     # loss row = candidate 0 on the same pools (margin=inf never overrides)
@@ -130,24 +145,32 @@ def main():
         from houv_tpu.models import get_model
         from houv_tpu.train.checkpoint import load_checkpoint
 
-        use_gap = os.environ.get("RESCORE_GAP", "0") == "1"
-        model = get_model("alignment_spconv", grid_size=50,
-                          compute_dtype="bfloat16",
-                          n_extra=1 if use_gap else 0)
+        use_gap_env = os.environ.get("RESCORE_GAP", "0") == "1"
         n_aug = int(os.environ.get("RESCORE_TTA", "1"))
-        if use_gap:
-            print("loss-gap scorer input enabled")
+        models = {}
         scorers = []
         for c in ckpts:
             state = load_checkpoint(c)
+            # gap head auto-detected per checkpoint (train/cli.py seam)
+            has_gap = use_gap_env or "Dense_2" in state["params"]
+            if has_gap:
+                print(f"loss-gap scorer input enabled for {c}")
+            model = models.setdefault(has_gap, get_model(
+                "alignment_spconv", grid_size=50,
+                compute_dtype="bfloat16", n_extra=1 if has_gap else 0))
             variables = {"params": state["params"]}
             if state.get("batch_stats"):
                 variables["batch_stats"] = state["batch_stats"]
             scorers.append(make_classifier_scorer(
                 model, variables, micro_batch=16, n_aug=n_aug,
-                use_gap=use_gap))
+                use_gap=has_gap))
         if len(scorers) == 1:
-            scorer = scorers[0]
+            named_scorers = [(ckpts[0], scorers[0])]
+        elif os.environ.get("RESCORE_EVAL_EACH", "0") == "1":
+            # evaluate every checkpoint SEPARATELY on the shared pools —
+            # one pool solve serves N model gates (lever-comparison mode;
+            # the default comma behavior below ensembles instead)
+            named_scorers = list(zip(ckpts, scorers))
         else:
             # checkpoint ensemble. RESCORE_ENSEMBLE: 'mean' averages
             # logits; 'min' is a veto — an override fires only when EVERY
@@ -168,32 +191,37 @@ def main():
                 out = _red(logits, axis=0)
                 out[:, 0] = np.mean(logits[:, :, 0], axis=0)
                 return out
+
+            named_scorers = [("ensemble", scorer)]
         if n_aug > 1:
             print(f"test-time augmentation: {n_aug} joint rotations")
         # pools reuse (ADVICE r3): identical key/cfg -> identical pools;
         # re-solving would double wall and risk a second long dispatch.
-        base_r = base_rot_err = None
-        for nc in cand_list:
-            for mg in margins:
-                t0 = time.perf_counter()
-                cls = houv_solve_rescored(
-                    src, tgt, key, cfg, scorer,
-                    n_cand=nc, angle_deg=angle_deg, margin=mg,
-                    pools=pools,
-                )
-                r = _stats(f"clf@{nc}/m{mg:g}", cls["transform"], gt,
-                           extra=f"overrides {int(cls['n_override'])}  "
-                                 f"wall {time.perf_counter() - t0:.0f}s")
-                if base_rot_err is None:
-                    base_rot_err, _ = evaluate_solution(
-                        base["transform"], jnp.asarray(gt))
-                    base_rot_err = np.asarray(base_rot_err)
-                ov = np.asarray(cls["pick"]) != 0
-                if ov.any():
-                    d = r[ov] - base_rot_err[ov]
-                    print(f"    overrides: {int((d < -1).sum())} improved"
-                          f" >1°, {int((d > 1).sum())} hurt >1°, worst"
-                          f" hurt {d.max():+.1f}°, best {d.min():+.1f}°")
+        base_rot_err = None
+        for name, scorer in named_scorers:
+            if len(named_scorers) > 1:
+                print(f"--- ckpt {name}")
+            for nc in cand_list:
+                for mg in margins:
+                    t0 = time.perf_counter()
+                    cls = houv_solve_rescored(
+                        src, tgt, key, cfg, scorer,
+                        n_cand=nc, angle_deg=angle_deg, margin=mg,
+                        pools=pools,
+                    )
+                    r = _stats(f"clf@{nc}/m{mg:g}", cls["transform"], gt,
+                               extra=f"overrides {int(cls['n_override'])} "
+                                     f" wall {time.perf_counter() - t0:.0f}s")
+                    if base_rot_err is None:
+                        base_rot_err, _ = evaluate_solution(
+                            base["transform"], jnp.asarray(gt))
+                        base_rot_err = np.asarray(base_rot_err)
+                    ov = np.asarray(cls["pick"]) != 0
+                    if ov.any():
+                        d = r[ov] - base_rot_err[ov]
+                        print(f"    overrides: {int((d < -1).sum())} improved"
+                              f" >1°, {int((d > 1).sum())} hurt >1°, worst"
+                              f" hurt {d.max():+.1f}°, best {d.min():+.1f}°")
     else:
         print(f"classifier: skipped (no checkpoint at {ckpt})")
 
