@@ -264,8 +264,8 @@ def bench_houv_quality():
     the reference-semantics selection (candidate 0 = loss argmin —
     test_margin_inf_matches_chunked proves equivalence to
     houv_solve_chunked) and, when the promoted rescorer checkpoint is
-    present, the classifier-rescored margin-2 quality mode
-    (cfgs/houv_rescore.yaml, BENCH_NOTES r4)."""
+    present, the classifier-rescored margin-3 quality mode
+    (cfgs/houv_rescore.yaml, BENCH_NOTES r5)."""
     import numpy as np
 
     from houv_tpu.data import synthesize_registration_pairs
@@ -336,13 +336,13 @@ def bench_houv_quality():
     scorer = make_classifier_scorer(model, variables, micro_batch=16,
                                     use_gap="Dense_2" in state["params"])
     cls = houv_solve_rescored(src, tgt, key, cfg, scorer, n_cand=16,
-                              angle_deg=10.0, margin=2.0, pools=pools)
+                              angle_deg=10.0, margin=3.0, pools=pools)
     rc = np.asarray(evaluate_solution(cls["transform"], gt)[0])
     # ratio vs the reference-semantics selection on the SAME pools: the
     # promoted quality mode must not regress the loss pick (>1 = the
     # learned rescorer trims the symmetric-impostor tail)
     emit("houv_rescored_rot_mean_deg_fixture", float(rc.mean()),
-         f"deg (same protocol, clf@16/m2 rescored; loss-pick mean "
+         f"deg (same protocol, clf@16/m3 rescored; loss-pick mean "
          f"{r.mean():.2f}, overrides {int(cls['n_override'])}, "
          f"median {float(np.median(rc)):.2f})",
          float(r.mean()) / max(float(rc.mean()), 1e-6))
