@@ -520,3 +520,29 @@ def test_conv_remat_gradient_parity(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_r),
                     jax.tree_util.tree_leaves(g_n)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_occ_downsample_mirrors_exact_sites(rng):
+    """The hybrid dense path's _occ_downsample (models/voxelnet.py) must
+    mark occupied exactly the sites downsample_sites emits — the sparse
+    and dense levels of the hybrid model see the same site sets."""
+    from houv_tpu.models.voxelnet import _occ_downsample
+    from houv_tpu.ops.sparse_conv import downsample_sites, to_dense
+
+    for stride in [(2, 2, 2), (2, 2, 1)]:
+        sg = _random_sparse(rng, b=2, n=28, g=8, c=2)
+        oc, om, og = downsample_sites(sg, stride, out_capacity=256)
+        _, occ_in = __import__(
+            "houv_tpu.models.voxelnet", fromlist=["sparse_to_dense"]
+        ).sparse_to_dense(sg)
+        occ_dn = np.asarray(_occ_downsample(jnp.asarray(occ_in), stride))
+        for b in range(2):
+            sparse_sites = {
+                tuple(c) for c in np.asarray(oc)[b][np.asarray(om)[b]]
+            }
+            dense_sites = {tuple(c) for c in np.argwhere(occ_dn[b])}
+            # dense occupancy extent can exceed the cubic sparse extent on
+            # anisotropic strides; compare within the shared extent
+            dense_sites = {c for c in dense_sites
+                           if all(x < og for x in c)}
+            assert dense_sites == sparse_sites, (stride, b)
