@@ -133,8 +133,9 @@ def make_rescorer(cfg: Config, log, mesh=None):
     solves route through the rescored driver: candidate 0 stays the
     reference loss pick; a rotation-NMS'd candidate overrides it only
     when the trained AlignmentClassifier prefers it by cfg.rescore_margin
-    (BENCH_NOTES r4: 256-pair gate mean 5.98° -> 5.14° at margin 2 with
-    zero harmful overrides). With a multi-device ``mesh`` the classifier
+    (BENCH_NOTES r5: zero harmful overrides on both the 256- and
+    512-pair gates at margin 3; 256 mean 4.93° -> 4.69° incl. a -52°
+    symmetric-flip repair). With a multi-device ``mesh`` the classifier
     applications shard over the pair axis (make_sharded_classifier_scorer)
     so the quality mode rides the mesh like the plain sweep."""
     if not cfg.rescore_ckpt:
